@@ -1,0 +1,65 @@
+"""Generator parity: the NumPy ports must bit-match the native C++ library
+(which calls the exact std::mt19937 / uniform_int_distribution / glibc rand
+the reference uses: main.cpp:41-55, simd_micro_bench.cpp:78-79)."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from ccve_tpu import native
+from ccve_tpu.core import datagen
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native lib unavailable"
+)
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def test_mt19937_known_values():
+    # std::mt19937 with seed 5489 (default): 10000th draw is 4123659995
+    # (the canonical MT19937 check value).
+    gen = datagen.MT19937(5489)
+    draws = gen.draw(10_000)
+    assert int(draws[-1]) == 4123659995
+
+
+@needs_native
+def test_probe_table_matches_native():
+    n_rows, n_cols, rhs = 10_000, 3, 2_000_000
+    ours = datagen.gen_probe_table(n_rows, n_cols, rhs)
+    theirs = np.zeros(n_rows * n_cols, dtype=np.int64)
+    native.load().ccve_gen_probe_table(n_rows, n_cols, rhs, _p64(theirs))
+    np.testing.assert_array_equal(ours.ravel(), theirs)
+
+
+@needs_native
+@pytest.mark.parametrize("chunk_factor", [1, 2, 5, 7])
+def test_rhs_table_matches_native(chunk_factor):
+    n_rhs = 10_007
+    keys, payloads = datagen.gen_rhs_table(n_rhs, chunk_factor)
+    k2 = np.zeros(n_rhs, dtype=np.int64)
+    p2 = np.zeros(n_rhs, dtype=np.int64)
+    native.load().ccve_gen_rhs_table(n_rhs, chunk_factor, _p64(k2), _p64(p2))
+    np.testing.assert_array_equal(keys, k2)
+    np.testing.assert_array_equal(payloads, p2)
+
+
+@needs_native
+def test_microbench_keys_match_native():
+    n, rhs_tuples, hit_freq = 50_000, 128, 2
+    ours = datagen.gen_microbench_keys(n, rhs_tuples, hit_freq)
+    theirs = np.zeros(n, dtype=np.int64)
+    native.load().ccve_gen_microbench_keys(n, rhs_tuples, hit_freq, _p64(theirs))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_rhs_table_structure():
+    keys, payloads = datagen.gen_rhs_table(100, 4)
+    # 25 unique values, stride 100//25 = 4, each repeated 4x
+    assert len(np.unique(keys)) == 25
+    np.testing.assert_array_equal(np.unique(keys), np.arange(25) * 4)
+    np.testing.assert_array_equal(payloads, np.arange(100) + 10_000_000)
