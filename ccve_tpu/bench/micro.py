@@ -1,0 +1,176 @@
+"""Single-join probe micro-benchmark — the reference's 8-variant matrix.
+
+`simd_micro_bench.cpp:75-362` times {SIMD, scalar} x {staged Next, fused
+InOneNext} x {chaining, linear-probing} in cycles/key over a glibc-rand key
+stream. On TPU the {SIMD, scalar} axis is meaningless (XLA vectorizes
+everything), and the meaningful execution-style axes are:
+
+ - **bulk fused**   — whole-batch `match_stats` (exec/bulk.py): one fused
+   hash+gather+compare+advance stream, the InOneNext analogue;
+ - **staged scan**  — chunked probe + scan_next drain (ops/hash_table.py):
+   the 4-phase Next analogue, with per-phase device timing via separate
+   dispatches (hash/prefilter = probe, match+gather+advance = scan_next).
+
+crossed with {linear-probing, chaining/CSR}, giving the same 2x2(x phases)
+coverage. The key stream reproduces simd_micro_bench.cpp:78-79 bit-exactly
+(glibc rand() & (rhs_tuples*hit_freq - 1), core/datagen.py) and every
+variant reports its matched-tuple count — the reference's cross-check
+(simd_micro_bench.cpp:116 et al.) — which must agree across variants.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.core.chunk import iota_sel
+from ccve_tpu.core.datagen import gen_microbench_keys, gen_rhs_table
+from ccve_tpu.exec.bulk import match_stats
+from ccve_tpu.ops.hash_table import (
+    build_csr,
+    build_lp,
+    csr_probe,
+    lp_probe,
+    scan_next,
+)
+
+
+@dataclass
+class VariantResult:
+    name: str
+    seconds: float
+    n_keys: int
+    tuples: int
+    phase_seconds: dict | None = None
+
+    @property
+    def ns_per_key(self) -> float:
+        return self.seconds * 1e9 / self.n_keys
+
+
+def _time(fn, warmup=1, reps=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def run_bulk_variant(table, keys_dev, name: str) -> VariantResult:
+    fn = jax.jit(lambda k: match_stats(table, k).mult.astype(jnp.int64).sum())
+    secs, total = _time(lambda: fn(keys_dev))
+    return VariantResult(
+        name=name, seconds=secs, n_keys=keys_dev.shape[0], tuples=int(total)
+    )
+
+
+def run_staged_variant(
+    table, keys_dev, block: int, name: str, max_steps: int = 64
+) -> VariantResult:
+    """Chunked staged probe: probe once per chunk, then scan_next drained a
+    bounded number of steps inside one jitted scan per phase-visible stage.
+    Phases timed as separate dispatches: 'probe' (hash+prefilter) vs
+    'drain' (match+gather+advance loop)."""
+    n = keys_dev.shape[0]
+    n_chunks = n // block
+    keys_grid = keys_dev[: n_chunks * block].reshape(n_chunks, block)
+    is_lp = "lp" in name
+
+    prober = lp_probe if is_lp else csr_probe
+    sel = iota_sel(block)
+    cnt = jnp.asarray(block, jnp.int32)
+
+    @jax.jit
+    def probe_all(kg):
+        def one(_, k):
+            st = prober(table, k, sel, cnt)
+            return None, st
+
+        _, states = jax.lax.scan(one, None, kg)
+        return states
+
+    @jax.jit
+    def drain_all(kg, states):
+        def one(_, xs):
+            k, st0 = xs
+
+            def body(carry):
+                st, total = carry
+                res = scan_next(table, k, st)
+                return res.state, total + res.result_count.astype(jnp.int64)
+
+            def cond(carry):
+                st, _ = carry
+                return st.count > 0
+
+            st, total = jax.lax.while_loop(
+                cond, body, (st0, jnp.asarray(0, jnp.int64))
+            )
+            return None, total
+
+        _, totals = jax.lax.scan(one, None, (kg, states))
+        return totals.sum()
+
+    p_secs, states = _time(lambda: probe_all(keys_grid))
+    d_secs, total = _time(lambda: drain_all(keys_grid, states))
+    return VariantResult(
+        name=name,
+        seconds=p_secs + d_secs,
+        n_keys=n_chunks * block,
+        tuples=int(total),
+        phase_seconds={"probe": p_secs, "drain": d_secs},
+    )
+
+
+def run_micro_bench(
+    scale: int = 0, hit_freq: int = 1, chunk_factor: int = 1, n_keys: int | None = None
+) -> list[VariantResult]:
+    """The full matrix. Geometry mirrors simd_micro_bench.cpp:62-63:
+    block = 256 << scale (rounded up to a multiple of 128), rhs_tuples =
+    128 << scale; key stream = glibc rand masked (simd_micro_bench.cpp:78-79).
+    The reference streams 1024<<17 keys; default here is 2^24 (tunable)."""
+    block = max(256 << scale, 128)
+    rhs_tuples = 128 << scale
+    n_keys = n_keys or (1 << 24)
+    keys = gen_microbench_keys(n_keys, rhs_tuples, hit_freq)
+    build_keys, build_payloads = gen_rhs_table(rhs_tuples, chunk_factor)
+
+    lp = build_lp(build_keys, build_payloads)
+    csr = build_csr(build_keys, build_payloads)
+    keys_dev = jax.device_put(jnp.asarray(keys))
+    jax.block_until_ready(keys_dev)
+
+    results = [
+        run_bulk_variant(lp, keys_dev, "bulk_fused_lp"),
+        run_bulk_variant(csr, keys_dev, "bulk_fused_csr"),
+        run_staged_variant(lp, keys_dev, block, "staged_scan_lp"),
+        run_staged_variant(csr, keys_dev, block, "staged_scan_csr"),
+    ]
+    counts = {r.tuples for r in results}
+    assert len(counts) == 1, f"variant tuple counts disagree: {counts}"
+    return results
+
+
+def report(results: list[VariantResult]) -> str:
+    lines = []
+    for r in results:
+        phases = ""
+        if r.phase_seconds:
+            phases = "  (" + ", ".join(
+                f"{k} {v * 1e9 / r.n_keys:.2f} ns/key"
+                for k, v in r.phase_seconds.items()
+            ) + ")"
+        lines.append(
+            f" {r.name:18s} {r.ns_per_key:8.3f} ns/key  "
+            f"#tuples {r.tuples}{phases}"
+        )
+    return "\n".join(lines)

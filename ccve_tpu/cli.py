@@ -1,0 +1,143 @@
+"""Command-line drivers — the reference's two executables as one CLI.
+
+ - `pipeline`  ⇔ `simd_compaction_sevector` (main.cpp:37-117): the N-way
+   join pipeline benchmark. Flags mirror main.cpp:202-243
+   (--join-num --chunk-factor --lhs-size --rhs-size) plus the strategy
+   axis, which the reference bakes in at compile time via one binary per
+   strategy (build_versions.sh) and here is a runtime flag.
+ - `microbench` ⇔ `simd_bench_sevector` (simd_micro_bench.cpp:35-73):
+   flags --scale --hit-frequency --chunk-factor.
+
+Usage: python -m ccve_tpu.cli pipeline --join-num 3 --strategy full ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_pipeline(sub):
+    p = sub.add_parser("pipeline", help="N-way join pipeline benchmark")
+    p.add_argument("--join-num", type=int, default=3)
+    p.add_argument("--chunk-factor", type=int, default=1)
+    p.add_argument("--lhs-size", type=int, default=20_000_000)
+    p.add_argument("--rhs-size", type=int, default=2_000_000)
+    p.add_argument("--block-size", type=int, default=2048)
+    p.add_argument(
+        "--strategy",
+        choices=["none", "full", "binary", "dynamic"],
+        default="none",
+    )
+    p.add_argument("--table", choices=["lp", "csr"], default="csr")
+    p.add_argument(
+        "--executor",
+        choices=["pipeline", "bulk"],
+        default="pipeline",
+        help="chunk-at-a-time pipelined executor or bulk operator-at-a-time",
+    )
+    p.add_argument("--payload", choices=["reference", "full"], default="reference")
+    p.add_argument("--collect-tuples", action="store_true")
+    p.add_argument("--segment-chunks", type=int, default=64)
+    p.set_defaults(func=cmd_pipeline)
+
+
+def _add_micro(sub):
+    p = sub.add_parser("microbench", help="single-join probe micro-benchmark")
+    p.add_argument("--scale", type=int, default=0)
+    p.add_argument("--hit-frequency", type=int, default=1)
+    p.add_argument("--chunk-factor", type=int, default=1)
+    p.add_argument("--n-keys", type=int, default=1 << 24)
+    p.set_defaults(func=cmd_micro)
+
+
+def cmd_pipeline(args) -> int:
+    from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.ops.hash_table import build_csr, build_lp
+    from ccve_tpu.utils.profiler import BeeProfiler
+
+    strategy = {
+        "none": CompactionStrategy.NONE,
+        "full": CompactionStrategy.FULL,
+        "binary": CompactionStrategy.BINARY,
+        "dynamic": CompactionStrategy.DYNAMIC,
+    }[args.strategy]
+    cfg = EngineConfig(
+        block_size=args.block_size,
+        n_joins=args.join_num,
+        lhs_size=args.lhs_size,
+        rhs_size=args.rhs_size,
+        chunk_factor=args.chunk_factor,
+        strategy=strategy,
+        payload_mode=(
+            PayloadMode.REFERENCE if args.payload == "reference" else PayloadMode.FULL
+        ),
+        collect_tuples=args.collect_tuples,
+        tuner_segment_chunks=args.segment_chunks,
+    )
+    print(
+        f" [Settings] #joins: {cfg.n_joins}, strategy: {strategy.value}, "
+        f"table: {args.table}, executor: {args.executor}, "
+        f"|LHS|: {cfg.lhs_size}, |RHS|: {cfg.rhs_size}, "
+        f"chunk_factor: {cfg.chunk_factor}, block: {cfg.block_size}",
+        file=sys.stderr,
+    )
+
+    bee = BeeProfiler.get()
+    with bee.time("[Generate Data]"):
+        probe = gen_probe_table(cfg.lhs_size, cfg.n_joins, cfg.rhs_size)
+        keys, payloads = gen_rhs_table(cfg.rhs_size, cfg.chunk_factor)
+    builder = build_lp if args.table == "lp" else build_csr
+    with bee.time("[Build Hash Tables]"):
+        tables = [builder(keys, payloads) for _ in range(cfg.n_joins)]
+
+    if args.executor == "bulk":
+        from ccve_tpu.exec.bulk import bulk_count
+
+        t0 = time.perf_counter()
+        res = bulk_count(tables, probe)
+        count = int(res.count)
+        elapsed = time.perf_counter() - t0
+    else:
+        from ccve_tpu.exec.pipeline import JoinPipeline
+
+        pipe = JoinPipeline(tables, cfg)
+        out = pipe.run(probe, segment_chunks=args.segment_chunks)
+        count, elapsed = out["count"], out["seconds"]
+
+    print(f" [Total Time] {elapsed:.4f} s", file=sys.stderr)
+    print(
+        f" [Throughput] {cfg.lhs_size / elapsed / 1e6:.2f}M probe rows/s",
+        file=sys.stderr,
+    )
+    print(f" [Result Rows] {count}", file=sys.stderr)
+    bee.end_profiling()
+    return 0
+
+
+def cmd_micro(args) -> int:
+    from ccve_tpu.bench.micro import report, run_micro_bench
+
+    results = run_micro_bench(
+        scale=args.scale,
+        hit_freq=args.hit_frequency,
+        chunk_factor=args.chunk_factor,
+        n_keys=args.n_keys,
+    )
+    print(report(results), file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ccve_tpu")
+    sub = ap.add_subparsers(required=True)
+    _add_pipeline(sub)
+    _add_micro(sub)
+    args = ap.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -158,7 +158,9 @@ def compress_indices(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     n = mask.shape[0]
     idx = jnp.arange(n, dtype=SEL_DTYPE)
     pos = jnp.cumsum(mask.astype(SEL_DTYPE)) - 1  # target position per set lane
-    count = jnp.sum(mask.astype(SEL_DTYPE))
+    # NB: jnp.sum promotes int32 -> int64 under x64; counts are int32 by
+    # contract everywhere (ScanState, Chunk.count).
+    count = jnp.sum(mask.astype(SEL_DTYPE)).astype(SEL_DTYPE)
     scatter_pos = jnp.where(mask, pos, n)
     result = jnp.zeros((n,), SEL_DTYPE).at[scatter_pos].set(idx, mode="drop")
     return result, count

@@ -135,9 +135,28 @@ def uniform_int_stream(gen: MT19937, n: int, lo: int, hi: int) -> np.ndarray:
     return out
 
 
-def gen_probe_table(n_rows: int, n_cols: int, rhs_size: int) -> np.ndarray:
+def gen_probe_table(
+    n_rows: int, n_cols: int, rhs_size: int, use_native: bool = True
+) -> np.ndarray:
     """The pipeline driver's probe table (main.cpp:41-55): int64[n_rows,
-    n_cols] of uniform draws in [0, rhs_size] from mt19937(2), row-major."""
+    n_cols] of uniform draws in [0, rhs_size] from mt19937(2), row-major.
+    Uses the native C++ generator when available (bit-identical — tests
+    assert agreement); the NumPy port is the fallback/oracle."""
+    if use_native:
+        from ccve_tpu import native
+
+        lib = native.load()
+        if lib is not None:
+            import ctypes
+
+            out = np.empty(n_rows * n_cols, dtype=np.int64)
+            lib.ccve_gen_probe_table(
+                n_rows,
+                n_cols,
+                rhs_size,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return out.reshape(n_rows, n_cols)
     gen = MT19937(2)
     flat = uniform_int_stream(gen, n_rows * n_cols, 0, rhs_size)
     return flat.reshape(n_rows, n_cols)
@@ -161,6 +180,25 @@ def gen_rhs_table(n_rhs: int, chunk_factor: int) -> tuple[np.ndarray, np.ndarray
     keys = np.repeat(np.arange(num_unique, dtype=np.int64) * stride, reps)[:n_rhs]
     payloads = np.arange(n_rhs, dtype=np.int64) + 10_000_000
     return keys, payloads
+
+
+def gen_zipf_keys(
+    n: int, domain: int, alpha: float = 1.1, seed: int = 7
+) -> np.ndarray:
+    """Zipf-skewed int64 keys in [0, domain) — BASELINE.json config 4's
+    heavy-hitter workload (no reference counterpart). Rank r is drawn with
+    probability ∝ 1/r^alpha via inverse-CDF sampling, then ranks are
+    scattered over the domain with a fixed permutation so hot keys don't
+    cluster in key space."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, domain + 1, dtype=np.float64)
+    pmf = ranks**-alpha
+    cdf = np.cumsum(pmf)
+    cdf /= cdf[-1]
+    u = rng.random(n)
+    r = np.searchsorted(cdf, u)  # 0-based rank
+    perm = rng.permutation(domain)
+    return perm[r].astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +244,25 @@ class GlibcRand:
         return (grown[start:] >> np.uint32(1)).astype(np.int64)
 
 
-def gen_microbench_keys(n_keys: int, rhs_tuples: int, hit_freq: int) -> np.ndarray:
+def gen_microbench_keys(
+    n_keys: int, rhs_tuples: int, hit_freq: int, use_native: bool = True
+) -> np.ndarray:
     """Micro-bench probe keys (simd_micro_bench.cpp:78-79):
     rand() & (rhs_tuples * hit_freq - 1), glibc rand with default seed."""
+    if use_native:
+        from ccve_tpu import native
+
+        lib = native.load()
+        if lib is not None:
+            import ctypes
+
+            out = np.empty(n_keys, dtype=np.int64)
+            lib.ccve_gen_microbench_keys(
+                n_keys,
+                rhs_tuples,
+                hit_freq,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            return out
     mask = rhs_tuples * hit_freq - 1
     return GlibcRand(1).draw(n_keys) & mask

@@ -1,0 +1,230 @@
+"""Bulk operator-at-a-time executor — the single-chip throughput path.
+
+The chunk-at-a-time executor (exec/pipeline.py) reproduces the reference's
+pipelined traversal (main.cpp:119-191) chunk for chunk; this module is the
+TPU-first alternative: process the WHOLE probe batch per operator, with no
+per-chunk control flow, so XLA sees one huge fused gather/compare stream
+per join level — the shape the hardware actually wants.
+
+The N-way pipeline factorizes. Level l always probes ORIGINAL probe column
+l (main.cpp:131: `join_key = input.data_[level]`), so a probe row that
+matches m_l build rows at level l emits Π_l m_l output rows in total, and
+
+    total rows  = Σ_i Π_l  mult(i, l)
+    Σ payload_l = Σ_i psum(i, l) · Π_{k≠l} mult(i, k)
+
+where mult(i, l) is row i's match count at level l and psum(i, l) the sum
+of its matched payloads. Counting and checksumming the full join therefore
+needs NO fan-out materialization — one `match_stats` sweep per level.
+`match_stats` is the hot kernel: hash + gather + compare + advance over the
+whole batch, iterated to drain duplicate chains with a live-lane early-exit
+(`lax.while_loop` ends when every lane has hit its chain end).
+
+For materialized results use `bulk_materialize` (static-width candidate
+grids, exact row multiset vs the oracle) or the pipelined executor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.ops.hash_table import (
+    CSRTable,
+    EMPTY,
+    LPTable,
+    csr_expand_grid,
+    lp_expand_grid,
+)
+from ccve_tpu.ops.hashing import murmurhash64
+
+
+class MatchStats(NamedTuple):
+    mult: jax.Array  # int32[n]: matches per probe key
+    psum: jax.Array  # int64[n]: sum of matched payloads per probe key
+
+
+def lp_match_stats(table: LPTable, keys: jax.Array) -> MatchStats:
+    """Drain the LP chain of every key in lock-step: advance until the
+    first EMPTY slot per lane (linear_probing_ht.cpp:60-115), early-exiting
+    when all lanes are done. ~1/(1-load) iterations at uniform load."""
+    n = keys.shape[0]
+    slot_mask = jnp.uint64(table.n_slots - 1)
+    h = (murmurhash64(keys) & slot_mask).astype(jnp.int32)
+
+    def cond(st):
+        _, _, _, live = st
+        return jnp.any(live)
+
+    def body(st):
+        cursor, mult, psum, live = st
+        cand = jnp.take(table.slot_keys, cursor)
+        occupied = cand != EMPTY
+        hit = live & occupied & (cand == keys)
+        mult = mult + hit.astype(jnp.int32)
+        pay = jnp.take(table.slot_payloads, cursor)
+        psum = psum + jnp.where(hit, pay, 0)
+        live = live & occupied
+        cursor = (cursor + 1) & jnp.int32(table.n_slots - 1)
+        return cursor, mult, psum, live
+
+    # Init carries derived from `keys` so their varying-axis type matches
+    # the loop body's under shard_map (zeros/ones literals are replicated,
+    # body outputs are device-varying — lax.while_loop requires agreement).
+    zero64 = keys ^ keys
+    init = (
+        h,
+        zero64.astype(jnp.int32),
+        zero64,
+        keys == keys,
+    )
+    _, mult, psum, _ = jax.lax.while_loop(cond, body, init)
+    return MatchStats(mult=mult, psum=psum)
+
+
+def csr_match_stats(table: CSRTable, keys: jax.Array) -> MatchStats:
+    """Drain each key's bucket entries (chaining_ht.cpp:82-124) in
+    lock-step with early exit."""
+    n = keys.shape[0]
+    bucket_mask = jnp.uint64(table.n_buckets - 1)
+    b = (murmurhash64(keys) & bucket_mask).astype(jnp.int32)
+    cursor = jnp.take(table.offsets, b).astype(jnp.int32)
+    end = jnp.take(table.offsets, b + 1).astype(jnp.int32)
+
+    def cond(st):
+        cursor, end, _, _ = st
+        return jnp.any(cursor < end)
+
+    def body(st):
+        cursor, end, mult, psum = st
+        live = cursor < end
+        safe = jnp.where(live, cursor, 0)
+        cand = jnp.take(table.entry_keys, safe)
+        hit = live & (cand == keys)
+        mult = mult + hit.astype(jnp.int32)
+        pay = jnp.take(table.entry_payloads, safe)
+        psum = psum + jnp.where(hit, pay, 0)
+        return cursor + 1, end, mult, psum
+
+    zero64 = keys ^ keys  # varying-typed zeros (see lp_match_stats)
+    init = (cursor, end, zero64.astype(jnp.int32), zero64)
+    _, _, mult, psum = jax.lax.while_loop(cond, body, init)
+    return MatchStats(mult=mult, psum=psum)
+
+
+def match_stats(table, keys: jax.Array) -> MatchStats:
+    if isinstance(table, LPTable):
+        return lp_match_stats(table, keys)
+    if isinstance(table, CSRTable):
+        return csr_match_stats(table, keys)
+    from ccve_tpu.ops.sort_merge import SortedTable, sorted_match_stats
+
+    if isinstance(table, SortedTable):
+        return sorted_match_stats(table, keys)
+    raise TypeError(f"unknown table type {type(table)}")
+
+
+class BulkResult(NamedTuple):
+    count: jax.Array  # int64 scalar: total output rows of the N-way join
+    payload_checksums: jax.Array  # int64[n_levels]: Σ over output rows of
+    #                               each level's matched-payload column
+
+
+@jax.jit
+def _bulk_count_jit(tables: tuple, probe_cols: jax.Array) -> BulkResult:
+    """Tables are pytrees (register_dataclass): array leaves trace, the
+    max_run/max_len bounds ride along as static aux data."""
+    n_levels = len(tables)
+    stats = [match_stats(tables[l], probe_cols[l]) for l in range(n_levels)]
+    mults = [s.mult.astype(jnp.int64) for s in stats]
+    prod = mults[0]
+    for m in mults[1:]:
+        prod = prod * m
+    count = jnp.sum(prod)
+    chks = []
+    for l in range(n_levels):
+        # Π_{k≠l} mult — zero contribution where mult_l == 0 (row emits
+        # nothing), so the guarded division is exact.
+        others = jnp.where(mults[l] > 0, prod // mults[l], 0)
+        chks.append(jnp.sum(stats[l].psum * others))
+    return BulkResult(count=count, payload_checksums=jnp.stack(chks))
+
+
+def bulk_count(
+    tables: Sequence[LPTable | CSRTable],
+    probe_rows: np.ndarray | jax.Array,
+    tile_rows: int | None = None,
+) -> BulkResult:
+    """Count (and payload-checksum) the N-way join of `probe_rows`
+    (int64[n, n_joins]) against `tables` without materializing output.
+    Optionally processes in `tile_rows`-row tiles to bound memory."""
+    tables = tuple(tables)
+    probe = jnp.asarray(probe_rows, jnp.int64).T  # [n_joins, n]
+    n = probe.shape[1]
+    if tile_rows is None or tile_rows >= n:
+        return _bulk_count_jit(tables, probe)
+    count = jnp.asarray(0, jnp.int64)
+    chk = jnp.zeros(len(tables), jnp.int64)
+    for s in range(0, n, tile_rows):
+        r = _bulk_count_jit(tables, probe[:, s : s + tile_rows])
+        count = count + r.count
+        chk = chk + r.payload_checksums
+    return BulkResult(count=count, payload_checksums=chk)
+
+
+# ---------------------------------------------------------------------------
+# Materializing bulk join (static-width expansion)
+# ---------------------------------------------------------------------------
+
+
+def _expand(table, keys):
+    if isinstance(table, LPTable):
+        return lp_expand_grid(table, keys)
+    return csr_expand_grid(table, keys)
+
+
+def bulk_materialize(
+    tables: Sequence[LPTable | CSRTable],
+    probe_rows: np.ndarray,
+    payload_mode,
+) -> np.ndarray:
+    """Materialize the full N-way join output (int64[m, 3*n_joins]) by
+    per-level candidate-grid expansion. Output width/order match
+    exec/oracle.oracle_pipeline. Memory grows by Π max-chain-width, so this
+    is for moderate multiplicities; use the pipelined executor otherwise."""
+    from ccve_tpu.config import PayloadMode
+
+    probe_rows = np.asarray(probe_rows, dtype=np.int64)
+    n, n_joins = probe_rows.shape
+    assert n_joins == len(tables)
+
+    # survivors: (row index into probe_rows, appended cols so far)
+    src = jnp.arange(n, dtype=jnp.int64)
+    appended = jnp.zeros((0, n), jnp.int64)
+    probe_cols = jnp.asarray(probe_rows.T)
+
+    for l, table in enumerate(tables):
+        keys = jnp.take(probe_cols[l], src)
+        grid = _expand(table, keys)  # match [m, w]
+        m, w = grid.match.shape
+        flat_match = grid.match.reshape(-1)
+        # Dense compaction of surviving (row, candidate) pairs.
+        order = jnp.argsort(~flat_match, stable=True)  # matches first
+        n_keep = int(jnp.sum(flat_match))
+        keep = order[:n_keep]
+        row_of = keep // w
+        src = jnp.take(src, row_of)
+        appended = jnp.take(appended, row_of, axis=1)
+        ck = grid.keys.reshape(-1)[keep]
+        cp = grid.payloads.reshape(-1)[keep]
+        if payload_mode is PayloadMode.REFERENCE:
+            new_cols = jnp.stack([jnp.zeros_like(ck), ck])
+        else:
+            new_cols = jnp.stack([ck, cp])
+        appended = jnp.concatenate([appended, new_cols], axis=0)
+
+    lhs = probe_rows[np.asarray(src)]
+    return np.concatenate([lhs, np.asarray(appended).T], axis=1)

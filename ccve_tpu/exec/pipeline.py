@@ -1,0 +1,486 @@
+"""Chunk-at-a-time N-way join pipeline executor.
+
+TPU-native re-design of the reference's recursive push-based executor
+(`ExecutePipeline`, main.cpp:119-170; `FlushPipelineCache`,
+main.cpp:172-191). The C++ version recurses per intermediate chunk on the
+host call stack; under `jit` there is no data-dependent recursion, so the
+executor becomes an explicit depth-first **work loop** (`lax.while_loop`)
+over stacked per-level state:
+
+ - `in_cols[l]`   — level l's current (dense) input chunk
+ - scan cursors   — level l's ScanStructure (ops/hash_table.ScanState)
+ - `cache_*[l]`   — level l's compactor cache (ops/compactor)
+
+One loop iteration performs either one `Next` step at the current level
+(match + slice + gather + compact + maybe descend / collect) or pops back
+to the parent level when the level's scan is drained — exactly the
+traversal order of the reference's recursion, with all shapes static and
+`count` carried as traced scalars.
+
+A whole batch of input chunks runs in ONE device dispatch via `lax.scan`
+over the batch (`process_chunks`), so host↔device round-trips are
+amortized; the DYNAMIC compaction strategy re-selects thresholds between
+segments on the host (control/bandit.py) and feeds them in as traced
+scalars — never a recompile.
+
+Join semantics (and the oracle they must match) are documented in
+exec/oracle.py.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+from ccve_tpu.control.bandit import CompactTuner
+from ccve_tpu.core.chunk import Chunk, gather_rows, iota_sel
+from ccve_tpu.ops import compactor as comp
+from ccve_tpu.ops.hash_table import (
+    CSRTable,
+    LPTable,
+    ScanState,
+    csr_probe,
+    lp_probe,
+    scan_next,
+)
+
+
+class PipelineState(NamedTuple):
+    """Device-resident state that persists across input chunks."""
+
+    cache_cols: jax.Array  # int64[n_levels, W, block] compactor caches
+    cache_count: jax.Array  # int32[n_levels]
+    result_count: jax.Array  # int64 scalar: rows emitted by the collector
+    result_rows: jax.Array  # int64[W, capacity] materialized results
+    result_stored: jax.Array  # int64 scalar: rows actually stored (<= capacity)
+
+
+class _WorkState(NamedTuple):
+    """Per-chunk traversal state inside the work loop."""
+
+    cur: jax.Array  # int32: current level, loop exits at -1
+    in_cols: jax.Array  # int64[n_levels, W, block] per-level dense inputs
+    in_count: jax.Array  # int32[n_levels]
+    sc_cursor: jax.Array  # int64[n_levels, block]
+    sc_end: jax.Array  # int64[n_levels, block]
+    sc_sel: jax.Array  # int32[n_levels, block]
+    sc_count: jax.Array  # int32[n_levels]
+    pstate: PipelineState
+
+
+def init_pipeline_state(
+    n_levels: int, width: int, block: int, capacity: int
+) -> PipelineState:
+    return PipelineState(
+        cache_cols=jnp.zeros((n_levels, width, block), jnp.int64),
+        cache_count=jnp.zeros((n_levels,), jnp.int32),
+        result_count=jnp.asarray(0, jnp.int64),
+        result_rows=jnp.zeros((width, capacity), jnp.int64),
+        result_stored=jnp.asarray(0, jnp.int64),
+    )
+
+
+class JoinPipeline:
+    """The compiled N-way join pipeline over a fixed list of hash tables.
+
+    `tables[l]` (LPTable or CSRTable) is level l's build side; level l
+    probes input column l (main.cpp:131). Each level appends two output
+    columns per PayloadMode (see exec/oracle.py). Strategy semantics:
+
+     - NONE: threshold 0 — every chunk passes through untouched.
+     - FULL/BINARY: static threshold block / block//2.
+     - DYNAMIC: per-level thresholds chosen by the bandit between segments.
+    """
+
+    def __init__(
+        self,
+        tables: Sequence[LPTable | CSRTable],
+        config: EngineConfig,
+        result_capacity: int | None = None,
+    ):
+        self.tables = list(tables)
+        self.config = config
+        self.n_levels = len(tables)
+        self.block = config.block_size
+        self.width = config.n_joins + 2 * self.n_levels
+        if config.collect_tuples:
+            self.capacity = (
+                result_capacity if result_capacity is not None else 1 << 20
+            )
+        else:
+            self.capacity = 0
+        self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
+        self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # Work-loop building blocks
+    # ------------------------------------------------------------------
+
+    def fresh_state(self) -> PipelineState:
+        return init_pipeline_state(
+            self.n_levels, self.width, self.block, self.capacity
+        )
+
+    def _probe_level(self, level_static: int, keys, count) -> ScanState:
+        table = self.tables[level_static]
+        sel = iota_sel(self.block)
+        if isinstance(table, LPTable):
+            return lp_probe(table, keys, sel, count)
+        return csr_probe(table, keys, sel, count)
+
+    def _collect(self, pstate: PipelineState, emitted: Chunk) -> PipelineState:
+        """The ResultCollector (main.cpp:125-128): count always; materialize
+        rows up to capacity when collect_tuples."""
+        new_count = pstate.result_count + emitted.count.astype(jnp.int64)
+        if self.capacity == 0:
+            return pstate._replace(result_count=new_count)
+        dense = gather_rows(emitted)  # [W, block], zeros beyond count
+        lane = jnp.arange(self.block, dtype=jnp.int64)
+        pos = jnp.where(
+            lane < emitted.count, pstate.result_stored + lane, self.capacity
+        )
+        rows = pstate.result_rows.at[:, pos].set(dense, mode="drop")
+        stored = jnp.minimum(
+            pstate.result_stored + emitted.count, self.capacity
+        )
+        return pstate._replace(
+            result_count=new_count, result_rows=rows, result_stored=stored
+        )
+
+    def _step(self, st: _WorkState, thresholds) -> _WorkState:
+        """One Next at level `cur`: match/gather, compact, then descend,
+        collect, or stay (the body of the `while (ss.HasNext())` loop,
+        main.cpp:150-161)."""
+        cur = st.cur
+        block, W, L = self.block, self.width, self.n_levels
+        blk = jax.lax.dynamic_index_in_dim(st.in_cols, cur, keepdims=False)
+
+        # --- Next (scan one entry per live row) -------------------------
+        keys = jax.lax.dynamic_index_in_dim(blk, cur, keepdims=False)
+        state = ScanState(
+            cursor=jax.lax.dynamic_index_in_dim(st.sc_cursor, cur, keepdims=False),
+            end=jax.lax.dynamic_index_in_dim(st.sc_end, cur, keepdims=False),
+            sel=jax.lax.dynamic_index_in_dim(st.sc_sel, cur, keepdims=False),
+            count=jax.lax.dynamic_index_in_dim(st.sc_count, cur, keepdims=False),
+        )
+        branches = [
+            partial(lambda tbl, op: scan_next(tbl, op[0], op[1]), t)
+            for t in self.tables
+        ]
+        res = jax.lax.switch(cur, branches, (keys, state))
+
+        sc_cursor = jax.lax.dynamic_update_index_in_dim(
+            st.sc_cursor, res.state.cursor, cur, 0
+        )
+        sc_end = jax.lax.dynamic_update_index_in_dim(st.sc_end, res.state.end, cur, 0)
+        sc_sel = jax.lax.dynamic_update_index_in_dim(st.sc_sel, res.state.sel, cur, 0)
+        sc_count = jax.lax.dynamic_update_index_in_dim(
+            st.sc_count, res.state.count, cur, 0
+        )
+
+        # --- build the result chunk (Slice + GatherResult) --------------
+        # Two output columns at n_joins + 2*cur(+1), written at the matched
+        # storage positions (GatherResult's input-coordinate scatter,
+        # chaining_ht.cpp:126-136), viewed through sel = result_vector.
+        lane = jnp.arange(block, dtype=jnp.int32)
+        pos = jnp.where(lane < res.result_count, res.result_vector, block)
+        if self.config.payload_mode is PayloadMode.REFERENCE:
+            col_a_vals = jnp.zeros(block, jnp.int64)
+            col_b_vals = res.matched_keys
+        else:
+            col_a_vals = res.matched_keys
+            col_b_vals = res.matched_payloads
+        ca = self.config.n_joins + 2 * cur
+        blk = blk.at[ca, pos].set(col_a_vals, mode="drop")
+        blk = blk.at[ca + 1, pos].set(col_b_vals, mode="drop")
+        result_chunk = Chunk(blk, res.result_vector, res.result_count)
+
+        # --- compact -----------------------------------------------------
+        if self.config.strategy is CompactionStrategy.NONE:
+            emitted = result_chunk
+            pstate = st.pstate
+        else:
+            cache = comp.CompactorState(
+                cache_cols=jax.lax.dynamic_index_in_dim(
+                    st.pstate.cache_cols, cur, keepdims=False
+                ),
+                cache_count=jax.lax.dynamic_index_in_dim(
+                    st.pstate.cache_count, cur, keepdims=False
+                ),
+            )
+            thr = jnp.take(thresholds, cur)
+            emitted, new_cache = comp.compact(cache, result_chunk, thr)
+            pstate = st.pstate._replace(
+                cache_cols=jax.lax.dynamic_update_index_in_dim(
+                    st.pstate.cache_cols, new_cache.cache_cols, cur, 0
+                ),
+                cache_count=jax.lax.dynamic_update_index_in_dim(
+                    st.pstate.cache_count, new_cache.cache_count, cur, 0
+                ),
+            )
+
+        # --- route the emitted chunk ------------------------------------
+        has_rows = emitted.count > 0
+        is_final = cur == L - 1
+        descend = has_rows & ~is_final
+
+        collected = self._collect(pstate, emitted)
+        pstate = jax.tree.map(
+            lambda new, old: jnp.where(has_rows & is_final, new, old),
+            collected,
+            pstate,
+        )
+
+        # Descend: densify the emitted chunk into level cur+1 and probe it.
+        nxt = jnp.minimum(cur + 1, L - 1)
+        dense = gather_rows(emitted)  # [W, block]
+        nxt_keys = jax.lax.dynamic_index_in_dim(dense, nxt, keepdims=False)
+        probe_branches = [
+            partial(
+                lambda l, op: self._probe_level(l, op[0], op[1]), l
+            )
+            for l in range(L)
+        ]
+        pstate_scan = jax.lax.switch(nxt, probe_branches, (nxt_keys, emitted.count))
+
+        def upd(stacked, new, old_row):
+            row = jnp.where(descend, new, old_row)
+            return jax.lax.dynamic_update_index_in_dim(stacked, row, nxt, 0)
+
+        in_cols = upd(
+            st.in_cols,
+            dense,
+            jax.lax.dynamic_index_in_dim(st.in_cols, nxt, keepdims=False),
+        )
+        in_count = upd(
+            st.in_count,
+            emitted.count,
+            jax.lax.dynamic_index_in_dim(st.in_count, nxt, keepdims=False),
+        )
+        sc_cursor = upd(
+            sc_cursor,
+            pstate_scan.cursor,
+            jax.lax.dynamic_index_in_dim(sc_cursor, nxt, keepdims=False),
+        )
+        sc_end = upd(
+            sc_end,
+            pstate_scan.end,
+            jax.lax.dynamic_index_in_dim(sc_end, nxt, keepdims=False),
+        )
+        sc_sel = upd(
+            sc_sel,
+            pstate_scan.sel,
+            jax.lax.dynamic_index_in_dim(sc_sel, nxt, keepdims=False),
+        )
+        sc_count = upd(
+            sc_count,
+            pstate_scan.count,
+            jax.lax.dynamic_index_in_dim(sc_count, nxt, keepdims=False),
+        )
+
+        new_cur = jnp.where(descend, cur + 1, cur).astype(jnp.int32)
+        return _WorkState(
+            cur=new_cur,
+            in_cols=in_cols,
+            in_count=in_count,
+            sc_cursor=sc_cursor,
+            sc_end=sc_end,
+            sc_sel=sc_sel,
+            sc_count=sc_count,
+            pstate=pstate,
+        )
+
+    def _work_loop(self, st: _WorkState, thresholds) -> _WorkState:
+        """Depth-first drain: step while the current level has pending
+        matches, pop when drained, exit when level 0 pops."""
+
+        def cond(s: _WorkState):
+            return s.cur >= 0
+
+        def body(s: _WorkState):
+            has_next = jax.lax.dynamic_index_in_dim(s.sc_count, s.cur, keepdims=False) > 0
+            return jax.lax.cond(
+                has_next,
+                lambda ss: self._step(ss, thresholds),
+                lambda ss: ss._replace(cur=ss.cur - 1),
+                s,
+            )
+
+        return jax.lax.while_loop(cond, body, st)
+
+    def _fresh_work(self, pstate: PipelineState) -> _WorkState:
+        L, W, B = self.n_levels, self.width, self.block
+        return _WorkState(
+            cur=jnp.asarray(0, jnp.int32),
+            in_cols=jnp.zeros((L, W, B), jnp.int64),
+            in_count=jnp.zeros((L,), jnp.int32),
+            sc_cursor=jnp.zeros((L, B), jnp.int64),
+            sc_end=jnp.zeros((L, B), jnp.int64),
+            sc_sel=jnp.zeros((L, B), jnp.int32),
+            sc_count=jnp.zeros((L,), jnp.int32),
+            pstate=pstate,
+        )
+
+    # ------------------------------------------------------------------
+    # Top-level jitted entry points
+    # ------------------------------------------------------------------
+
+    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+        """lax.scan over a batch of input chunks: one device dispatch for
+        the whole batch (the driver's chunk loop, main.cpp:86-95).
+
+        chunk_cols: int64[n_chunks, n_joins, block]; counts: int32[n_chunks].
+        """
+
+        def one_chunk(ps, xs):
+            cols, count = xs
+            work = self._fresh_work(ps)
+            padded = work.in_cols.at[0, : self.config.n_joins, :].set(cols)
+            scan0 = self._probe_level(0, cols[0], count)
+            work = work._replace(
+                in_cols=padded,
+                in_count=work.in_count.at[0].set(count),
+                sc_cursor=work.sc_cursor.at[0].set(scan0.cursor),
+                sc_end=work.sc_end.at[0].set(scan0.end),
+                sc_sel=work.sc_sel.at[0].set(scan0.sel),
+                sc_count=work.sc_count.at[0].set(scan0.count),
+            )
+            out = self._work_loop(work, thresholds)
+            return out.pstate, None
+
+        pstate, _ = jax.lax.scan(one_chunk, pstate, (chunk_cols, chunk_counts))
+        return pstate
+
+    def _flush_all(self, pstate, thresholds):
+        """FlushPipelineCache (main.cpp:172-191): flush level l's cache into
+        level l+1, in level order; refilled caches of deeper levels are
+        flushed by the later iterations."""
+        for level in range(self.n_levels):
+            cache = comp.CompactorState(
+                cache_cols=pstate.cache_cols[level],
+                cache_count=pstate.cache_count[level],
+            )
+            flushed, fresh = comp.flush(cache)
+            pstate = pstate._replace(
+                cache_cols=pstate.cache_cols.at[level].set(fresh.cache_cols),
+                cache_count=pstate.cache_count.at[level].set(fresh.cache_count),
+            )
+            if level + 1 == self.n_levels:
+                has = flushed.count > 0
+                collected = self._collect(pstate, flushed)
+                pstate = jax.tree.map(
+                    lambda new, old: jnp.where(has, new, old), collected, pstate
+                )
+            else:
+                nxt = level + 1
+                work = self._fresh_work(pstate)
+                scan_n = self._probe_level(nxt, flushed.cols[nxt], flushed.count)
+                work = work._replace(
+                    cur=jnp.asarray(nxt, jnp.int32),
+                    in_cols=work.in_cols.at[nxt].set(flushed.cols),
+                    in_count=work.in_count.at[nxt].set(flushed.count),
+                    sc_cursor=work.sc_cursor.at[nxt].set(scan_n.cursor),
+                    sc_end=work.sc_end.at[nxt].set(scan_n.end),
+                    sc_sel=work.sc_sel.at[nxt].set(scan_n.sel),
+                    sc_count=work.sc_count.at[nxt].set(scan_n.count),
+                )
+                pstate = self._work_loop(work, thresholds).pstate
+        return pstate
+
+    # ------------------------------------------------------------------
+    # Host driver
+    # ------------------------------------------------------------------
+
+    def static_thresholds(self) -> np.ndarray:
+        if self.config.strategy is CompactionStrategy.DYNAMIC:
+            raise ValueError("DYNAMIC thresholds come from the tuner")
+        return np.full(
+            self.n_levels, self.config.compact_threshold, dtype=np.int32
+        )
+
+    def run(
+        self,
+        probe_rows: np.ndarray,
+        segment_chunks: int | None = None,
+        tuner: CompactTuner | None = None,
+    ) -> dict:
+        """Stream a host probe table (int64[n, n_joins]) through the
+        pipeline. Returns {'count', 'rows' (if collecting), 'seconds',
+        'chunks'}."""
+        cfg = self.config
+        block = self.block
+        probe_rows = np.ascontiguousarray(probe_rows, dtype=np.int64)
+        n = probe_rows.shape[0]
+        n_chunks = -(-n // block)
+        seg = segment_chunks or cfg.tuner_segment_chunks
+
+        dynamic = cfg.strategy is CompactionStrategy.DYNAMIC
+        if dynamic:
+            tuner = tuner or CompactTuner()
+            if tuner.bandit_size() < self.n_levels:
+                tuner.reset()
+                for level in range(self.n_levels):
+                    tuner.initialize(level, cfg.threshold_arms)
+            thresholds = np.array(
+                [tuner.select_arm(l) for l in range(self.n_levels)], np.int32
+            )
+        else:
+            thresholds = self.static_thresholds()
+
+        # Pad the probe table to whole segments of whole chunks.
+        pad_rows = n_chunks * block - n
+        padded = np.concatenate(
+            [probe_rows, np.zeros((pad_rows, cfg.n_joins), np.int64)]
+        )
+        counts = np.full(n_chunks, block, np.int32)
+        if pad_rows:
+            counts[-1] = block - pad_rows
+
+        pstate = self.fresh_state()
+        t0 = time.perf_counter()
+        for s0 in range(0, n_chunks, seg):
+            s1 = min(s0 + seg, n_chunks)
+            batch = padded[s0 * block : s1 * block].reshape(
+                s1 - s0, block, cfg.n_joins
+            )
+            batch_cols = np.ascontiguousarray(np.swapaxes(batch, 1, 2))
+            seg_t0 = time.perf_counter()
+            pstate = self._process(
+                pstate,
+                jnp.asarray(batch_cols),
+                jnp.asarray(counts[s0:s1]),
+                jnp.asarray(thresholds),
+            )
+            if dynamic:
+                jax.block_until_ready(pstate)
+                seg_time = (time.perf_counter() - seg_t0) / (s1 - s0)
+                # reference reward shape: 2 / per-chunk-time / 1e3
+                # (main.cpp:164-166)
+                reward = 2.0 / max(seg_time, 1e-12) / 1e3
+                for level in range(self.n_levels):
+                    tuner.update_arm(level, int(thresholds[level]), reward)
+                thresholds = np.array(
+                    [tuner.select_arm(l) for l in range(self.n_levels)],
+                    np.int32,
+                )
+        if cfg.strategy is not CompactionStrategy.NONE:
+            pstate = self._flush(pstate, jnp.asarray(thresholds))
+        jax.block_until_ready(pstate)
+        seconds = time.perf_counter() - t0
+
+        out = {
+            "count": int(pstate.result_count),
+            "seconds": seconds,
+            "chunks": n_chunks,
+        }
+        if cfg.collect_tuples:
+            stored = int(pstate.result_stored)
+            out["rows"] = np.asarray(pstate.result_rows[:, :stored]).T
+            out["overflowed"] = int(pstate.result_count) > stored
+        return out

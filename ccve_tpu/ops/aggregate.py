@@ -1,0 +1,85 @@
+"""Hash aggregate — group-by over int64 keys.
+
+North-star extension (BASELINE.json: "hash aggregate"; config 4 pairs it
+with Zipf-skewed keys). No reference counterpart.
+
+TPU-native design: instead of a pointer-chasing aggregation hash table,
+grouping is a sort-based segment reduction — sort keys (XLA's bitonic /
+radix-fused sort or ops/sort.radix_sort), find segment starts, and
+`segment_sum`-style scatter-adds keyed by group id. All shapes static:
+the output is padded to the input size with a `n_groups` valid count,
+because the number of distinct keys is data-dependent.
+
+For bounded key domains (`domain` given) it skips the sort entirely:
+one scatter-add per aggregate into a dense `domain`-sized table — the
+direct analogue of a perfect-hash aggregate, and the fastest path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GroupByResult(NamedTuple):
+    keys: jax.Array  # int64[n]: group keys (garbage beyond n_groups)
+    count: jax.Array  # int64[n]: rows per group
+    sum: jax.Array  # int64[n]: sum of values per group
+    min: jax.Array  # int64[n]
+    max: jax.Array  # int64[n]
+    n_groups: jax.Array  # int32 scalar
+
+
+I64_MAX = jnp.iinfo(jnp.int64).max
+I64_MIN = jnp.iinfo(jnp.int64).min
+
+
+@jax.jit
+def hash_aggregate(keys: jax.Array, values: jax.Array) -> GroupByResult:
+    """Sort-based group-by: full aggregate set in one pass."""
+    n = keys.shape[0]
+    order = jnp.argsort(keys, stable=True)
+    sk = jnp.take(keys, order)
+    sv = jnp.take(values, order)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # group id per row
+    n_groups = gid[-1] + 1
+
+    out_keys = jnp.zeros(n, jnp.int64).at[gid].set(sk)
+    cnt = jnp.zeros(n, jnp.int64).at[gid].add(1)
+    s = jnp.zeros(n, jnp.int64).at[gid].add(sv)
+    mn = jnp.full(n, I64_MAX, jnp.int64).at[gid].min(sv)
+    mx = jnp.full(n, I64_MIN, jnp.int64).at[gid].max(sv)
+    return GroupByResult(
+        keys=out_keys, count=cnt, sum=s, min=mn, max=mx, n_groups=n_groups
+    )
+
+
+def dense_aggregate(keys: jax.Array, values: jax.Array, domain: int) -> GroupByResult:
+    """Perfect-hash aggregate for keys in [0, domain): one scatter-add per
+    stat into a dense table; `keys[g] = g` for occupied groups."""
+    cnt = jnp.zeros(domain, jnp.int64).at[keys].add(1, mode="drop")
+    s = jnp.zeros(domain, jnp.int64).at[keys].add(values, mode="drop")
+    mn = jnp.full(domain, I64_MAX, jnp.int64).at[keys].min(values, mode="drop")
+    mx = jnp.full(domain, I64_MIN, jnp.int64).at[keys].max(values, mode="drop")
+    occupied = cnt > 0
+    return GroupByResult(
+        keys=jnp.arange(domain, dtype=jnp.int64),
+        count=cnt,
+        sum=s,
+        min=mn,
+        max=mx,
+        n_groups=jnp.sum(occupied.astype(jnp.int32)),
+    )
+
+
+def partition_histogram(keys: jax.Array, n_parts: int) -> jax.Array:
+    """Per-partition key histogram (int64[n_parts]) — the skew-detection
+    statistic for the distributed tier (owner = high hash bits, matching
+    parallel/distributed.py)."""
+    from ccve_tpu.parallel.distributed import _owner_jnp
+
+    owner = _owner_jnp(keys, n_parts)
+    return jnp.zeros(n_parts, jnp.int64).at[owner].add(1)

@@ -1,0 +1,115 @@
+"""Sort-merge equi-join stats — the gather-free TPU probe path.
+
+The reference's probe is random access: hash each key, chase a bucket
+chain with per-key loads (chaining_ht.cpp:38-173). AVX-512 has hardware
+gathers, so that maps well to x86. The TPU VPU has NO random-access
+gather unit — XLA lowers `jnp.take` from a 4M-entry HBM table to ~40M
+elements/s (measured; see BENCH notes), while XLA's TPU sort runs at
+>200M 64-bit pairs/s. The TPU-native formulation of the same join is
+therefore sort-merge over the VPU's forte — sorts and prefix scans:
+
+ 1. concat (sorted-or-not) build keys and probe keys, tagged build=0 /
+    probe=1, and sort by (key, tag): within a key run, all build entries
+    precede all probe entries;
+ 2. inclusive prefix count of build entries `c` and prefix payload sum
+    `pc`; per-run bases recovered with a cummax over run-start markers
+    (run-start prefix values are monotone, so a max-scan IS "latest run
+    start" propagation — no gather);
+ 3. per probe element: mult = c - base_c, psum = pc - base_p;
+ 4. restore original probe order with a second sort keyed by carried row
+    id (a sort is ~2x faster than the equivalent scatter on TPU).
+
+Output (mult, psum per probe key) is exactly exec/bulk.match_stats's
+contract, verified against it in tests. Requires non-negative payloads
+for the cummax trick (engine payloads are row_index + 10^7,
+chaining_ht.cpp:21); `sorted_match_stats(..., allow_negative=True)`
+switches base-recovery to an associative segmented scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.exec.bulk import MatchStats
+
+
+class SortedTable(NamedTuple):
+    """A build table for the sort-merge path: rows sorted by key."""
+
+    keys: jax.Array  # int64[m], ascending
+    payloads: jax.Array  # int64[m], aligned with keys
+
+
+def build_sorted(keys, payloads=None, device=None) -> SortedTable:
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if payloads is None:
+        payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
+    else:
+        payloads = np.ascontiguousarray(payloads, dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    return SortedTable(
+        keys=jax.device_put(jnp.asarray(keys[order]), device),
+        payloads=jax.device_put(jnp.asarray(payloads[order]), device),
+    )
+
+
+def _segment_base(run_start: jax.Array, prefix: jax.Array, monotone: bool):
+    """Value of `prefix` at each position's latest run start."""
+    if monotone:
+        neg = jnp.full_like(prefix, jnp.iinfo(prefix.dtype).min)
+        return jax.lax.cummax(jnp.where(run_start, prefix, neg))
+    # general segmented copy-last scan
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, base = jax.lax.associative_scan(
+        combine, (run_start, jnp.where(run_start, prefix, 0))
+    )
+    return base
+
+
+def sorted_match_stats(
+    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
+) -> MatchStats:
+    """Per-probe-key (match count, matched-payload sum) via sort-merge."""
+    m = table.keys.shape[0]
+    n = probe_keys.shape[0]
+
+    keys = jnp.concatenate([table.keys, probe_keys])
+    tag = jnp.concatenate(
+        [jnp.zeros(m, jnp.int32), jnp.ones(n, jnp.int32)]
+    )
+    pay = jnp.concatenate([table.payloads, jnp.zeros(n, jnp.int64)])
+    row = jnp.concatenate(
+        [jnp.full(m, -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+
+    sk, stag, spay, srow = jax.lax.sort([keys, tag, pay, row], num_keys=2)
+
+    is_build = stag == 0
+    ib = is_build.astype(jnp.int32)
+    c = jnp.cumsum(ib)  # inclusive build count
+    bpay = jnp.where(is_build, spay, 0)
+    pc = jnp.cumsum(bpay)  # inclusive build payload sum
+
+    run_start = jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+    )
+    base_c = _segment_base(run_start, c - ib, monotone=True)
+    base_p = _segment_base(run_start, pc - bpay, monotone=not allow_negative)
+
+    mult_sorted = (c - base_c).astype(jnp.int32)
+    psum_sorted = pc - base_p
+
+    # Restore probe order: sort by row id; the m build entries (row=-1)
+    # sort to the front, probe rows land at positions m..m+n-1 in order.
+    _, mult, psum = jax.lax.sort(
+        [srow, mult_sorted, psum_sorted], num_keys=1
+    )
+    return MatchStats(mult=mult[m:], psum=psum[m:])

@@ -1,0 +1,298 @@
+"""Distributed hash join: hash-partitioned tables + all_to_all radix shuffle.
+
+The TPU-native equivalent of a shared-nothing distributed join (the
+reference has no distributed tier at all — SURVEY.md §2 "Parallelism
+inventory"). Design:
+
+ - **Partitioning**: build rows are owned by partition
+   `owner(key) = murmurhash64(key) >> (64 - log2 P)` — the hash's HIGH bits,
+   deliberately disjoint from the LOW bits that pick the bucket/slot inside
+   each local table, so per-partition tables stay uniformly loaded.
+ - **Build**: each partition's table is built independently (host build or
+   device-side sort build) and stacked on a leading mesh axis; shapes are
+   padded to the max partition so every shard is identical — SPMD.
+ - **Probe (radix shuffle)**: under `shard_map`, each device buckets its
+   local probe keys by owner with a stable sort + exclusive-prefix
+   offsets, scatters them into a `[P, cap]` send grid, and exchanges grids
+   with ONE `lax.all_to_all` over the ICI ring. Each device probes the
+   received keys against its local partition (`exec/bulk.match_stats`),
+   then a second all_to_all routes per-key (multiplicity, payload-sum)
+   stats back to the home device, which unsorts them to original row
+   order. Counting the N-way join then factorizes exactly like the
+   single-chip bulk path (Σ_i Π_l mult), finished with one psum.
+ - **Skew**: per-destination send histograms are psum'd into a global
+   [P] load vector; `skew` = max/mean. Overflow of the static `cap` is
+   detected (not silently dropped) and reported.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ccve_tpu.exec.bulk import match_stats
+from ccve_tpu.ops.hash_table import CSRTable, LPTable, build_csr, build_lp, next_pow2
+from ccve_tpu.ops.hashing import murmurhash64, murmurhash64_np
+
+AXIS = "shards"
+
+
+def make_join_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n & (n - 1):
+        raise ValueError(f"mesh size must be a power of two (got {n})")
+    if len(devs) < n:
+        raise ValueError(
+            f"need {n} devices for the mesh but only {len(devs)} present "
+            f"({devs[0].platform}); for CPU testing set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            "jax.config.update('jax_platforms', 'cpu') before backend init"
+        )
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _owner_np(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    if n_parts == 1:
+        return np.zeros(keys.shape[0], np.int64)
+    shift = np.uint64(64 - int(math.log2(n_parts)))
+    return (murmurhash64_np(keys) >> shift).astype(np.int64)
+
+
+def _owner_jnp(keys: jax.Array, n_parts: int) -> jax.Array:
+    if n_parts == 1:
+        return jnp.zeros(keys.shape[0], jnp.int32)
+    shift = jnp.uint64(64 - int(math.log2(n_parts)))
+    return (murmurhash64(keys) >> shift).astype(jnp.int32)
+
+
+class PartitionedTables(NamedTuple):
+    """One join level's build table, hash-partitioned and stacked on a
+    leading axis of size P. LP: arrays are [P, n_slots]; CSR: offsets
+    [P, n_buckets+1], entries [P, cap]. `max_bound` is the global static
+    chain bound (max_run / max_len across partitions)."""
+
+    kind: str  # "lp" | "csr"
+    arrays: tuple  # the stacked device arrays
+    max_bound: int
+    n_parts: int
+
+    def local_table(self, arrs: tuple):
+        """Rebuild the single-partition table from per-shard (squeezed)
+        arrays inside shard_map."""
+        if self.kind == "lp":
+            slot_keys, slot_payloads = arrs
+            return LPTable(slot_keys, slot_payloads, self.max_bound)
+        offsets, ekeys, epays = arrs
+        return CSRTable(offsets, ekeys, epays, self.max_bound)
+
+
+def partition_tables(
+    keys: np.ndarray,
+    payloads: np.ndarray | None,
+    n_parts: int,
+    kind: str = "lp",
+    mesh: Mesh | None = None,
+) -> PartitionedTables:
+    """Hash-partition one build table into P local tables with identical
+    (padded) shapes, stacked on the leading axis and placed shard-per-device
+    when a mesh is given."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if payloads is None:
+        payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
+    owner = _owner_np(keys, n_parts)
+    parts = [np.nonzero(owner == p)[0] for p in range(n_parts)]
+    max_count = max((idx.shape[0] for idx in parts), default=1)
+    max_count = max(max_count, 1)
+
+    if kind == "lp":
+        n_slots = next_pow2(4 * max_count)
+        sk = np.full((n_parts, n_slots), -1, np.int64)
+        sp = np.full((n_parts, n_slots), -1, np.int64)
+        bound = 1
+        for p, idx in enumerate(parts):
+            if idx.shape[0] == 0:
+                continue
+            t = _rebuild_lp(keys[idx], payloads[idx], n_slots)
+            sk[p] = np.asarray(t.slot_keys)
+            sp[p] = np.asarray(t.slot_payloads)
+            bound = max(bound, t.max_run)
+        arrays = (jnp.asarray(sk), jnp.asarray(sp))
+    elif kind == "csr":
+        n_buckets = next_pow2(2 * max_count)
+        cap = max_count
+        offs = np.zeros((n_parts, n_buckets + 1), np.int32)
+        ek = np.full((n_parts, cap), -1, np.int64)
+        ep = np.full((n_parts, cap), -1, np.int64)
+        bound = 1
+        for p, idx in enumerate(parts):
+            if idx.shape[0] == 0:
+                continue
+            t = _rebuild_csr(keys[idx], payloads[idx], n_buckets)
+            cnt = np.asarray(t.entry_keys).shape[0]
+            offs[p] = np.asarray(t.offsets)
+            ek[p, :cnt] = np.asarray(t.entry_keys)
+            ep[p, :cnt] = np.asarray(t.entry_payloads)
+            bound = max(bound, t.max_len)
+        arrays = (jnp.asarray(offs), jnp.asarray(ek), jnp.asarray(ep))
+    else:
+        raise ValueError(f"unknown table kind {kind!r}")
+
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(AXIS))
+        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+    return PartitionedTables(kind=kind, arrays=arrays, max_bound=int(bound), n_parts=n_parts)
+
+
+def _rebuild_lp(keys, payloads, n_slots) -> LPTable:
+    """LP build with an explicit slot count (shape parity across shards)."""
+    mask = n_slots - 1
+    slot_keys = np.full(n_slots, -1, np.int64)
+    slot_payloads = np.full(n_slots, -1, np.int64)
+    hashes = (murmurhash64_np(keys) & np.uint64(mask)).astype(np.int64)
+    for i in range(keys.shape[0]):
+        s = int(hashes[i])
+        while slot_keys[s] != -1:
+            s = (s + 1) & mask
+        slot_keys[s] = keys[i]
+        slot_payloads[s] = payloads[i]
+    occ = slot_keys != -1
+    from ccve_tpu.ops.hash_table import _longest_circular_run
+
+    return LPTable(
+        slot_keys=jnp.asarray(slot_keys),
+        slot_payloads=jnp.asarray(slot_payloads),
+        max_run=int(_longest_circular_run(occ)),
+    )
+
+
+def _rebuild_csr(keys, payloads, n_buckets) -> CSRTable:
+    bucket = (murmurhash64_np(keys) & np.uint64(n_buckets - 1)).astype(np.int64)
+    counts = np.bincount(bucket, minlength=n_buckets)
+    offsets = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    order = np.argsort(bucket, kind="stable")
+    return CSRTable(
+        offsets=jnp.asarray(offsets.astype(np.int32)),
+        entry_keys=jnp.asarray(keys[order]),
+        entry_payloads=jnp.asarray(payloads[order]),
+        max_len=int(counts.max(initial=1)),
+    )
+
+
+class DistResult(NamedTuple):
+    count: jax.Array  # int64: total join output rows
+    payload_checksums: jax.Array  # int64[n_levels]
+    skew: jax.Array  # float32: max/mean of the global partition load
+    overflow: jax.Array  # bool: any send bucket exceeded cap (results invalid)
+
+
+def _shuffle_level_stats(table_arrays, ptables: PartitionedTables, keys, cap):
+    """Inside shard_map: route keys to owners, probe, route stats back.
+    Returns (mult int32[n], psum int64[n], send_hist int64[P], overflow)."""
+    P_ = jax.lax.axis_size(AXIS)
+    n = keys.shape[0]
+    owner = _owner_jnp(keys, P_)
+
+    order = jnp.argsort(owner, stable=True)
+    owner_sorted = jnp.take(owner, order)
+    keys_sorted = jnp.take(keys, order)
+    counts = jnp.zeros(P_, jnp.int32).at[owner].add(1)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offs, owner_sorted)
+    overflow = jnp.any(counts > cap)
+
+    # Scatter into the [P, cap] send grid; pad key -2 never matches
+    # (build keys are >= 0; EMPTY slots are -1).
+    send = jnp.full((P_, cap), -2, jnp.int64)
+    safe_pos = jnp.where(pos < cap, pos, cap - 1)
+    send = send.at[owner_sorted, safe_pos].set(keys_sorted)
+
+    recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0)
+    local = ptables.local_table(table_arrays)
+    stats = match_stats(local, recv.reshape(-1))
+    mult_grid = stats.mult.reshape(P_, cap)
+    psum_grid = stats.psum.reshape(P_, cap)
+
+    back_m = jax.lax.all_to_all(mult_grid, AXIS, split_axis=0, concat_axis=0)
+    back_p = jax.lax.all_to_all(psum_grid, AXIS, split_axis=0, concat_axis=0)
+
+    mult_sorted = back_m[owner_sorted, safe_pos]
+    psum_sorted = back_p[owner_sorted, safe_pos]
+    inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    mult = jnp.take(mult_sorted, inv)
+    psum = jnp.take(psum_sorted, inv)
+    return mult, psum, counts.astype(jnp.int64), overflow
+
+
+def dist_bulk_count(
+    mesh: Mesh,
+    ptables: Sequence[PartitionedTables],
+    probe_rows: np.ndarray | jax.Array,
+    cap_slack: float = 2.0,
+) -> DistResult:
+    """Distributed N-way join count over `mesh`. `probe_rows` is
+    int64[n, n_joins] (host or device); rows are split evenly across
+    devices (padded with no-match sentinel keys), shuffled per level by
+    key ownership, and the factorized count/checksums are psum'd."""
+    n_parts = mesh.devices.size
+    probe = jnp.asarray(probe_rows, jnp.int64)
+    n, n_joins = probe.shape
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate(
+            [probe, jnp.full((pad, n_joins), -2, jnp.int64)]
+        )
+    cap = max(int(per_dev / n_parts * cap_slack) + 8, 16)
+    cap = min(cap, per_dev)
+
+    probe_sharded = jax.device_put(
+        probe, NamedSharding(mesh, P(AXIS, None))
+    )
+
+    table_leaves = tuple(pt.arrays for pt in ptables)
+    in_specs = (
+        jax.tree.map(lambda _: P(AXIS), table_leaves),
+        P(AXIS, None),
+    )
+    out_specs = (P(), P(), P(), P())
+
+    def spmd(table_leaves, probe_local):  # probe_local: [per_dev, n_joins]
+        mults, psums = [], []
+        hist = jnp.zeros(n_parts, jnp.int64)
+        over = jnp.zeros((), jnp.int32)
+        for l, pt in enumerate(ptables):
+            arrs = tuple(a[0] for a in table_leaves[l])  # squeeze shard dim
+            m, s, h, o = _shuffle_level_stats(
+                arrs, pt, probe_local[:, l], cap
+            )
+            mults.append(m.astype(jnp.int64))
+            psums.append(s)
+            hist = hist + h
+            over = jnp.maximum(over, o.astype(jnp.int32))
+        prod = mults[0]
+        for m in mults[1:]:
+            prod = prod * m
+        count = jax.lax.psum(jnp.sum(prod), AXIS)
+        chks = []
+        for l in range(len(ptables)):
+            others = jnp.where(mults[l] > 0, prod // mults[l], 0)
+            chks.append(jax.lax.psum(jnp.sum(psums[l] * others), AXIS))
+        ghist = jax.lax.psum(hist, AXIS).astype(jnp.float32)
+        skew = ghist.max() / jnp.maximum(ghist.mean(), 1.0)
+        overflow = jax.lax.pmax(over, AXIS) > 0
+        return count, jnp.stack(chks), skew.astype(jnp.float32), overflow
+
+    f = jax.jit(
+        jax.shard_map(spmd, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+    count, chks, skew, overflow = f(table_leaves, probe_sharded)
+    return DistResult(
+        count=count, payload_checksums=chks, skew=skew, overflow=overflow
+    )

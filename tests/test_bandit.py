@@ -1,0 +1,79 @@
+"""UCB1-tuned bandit + CompactTuner (negative_feedback.hpp:20-260)."""
+
+import numpy as np
+
+from ccve_tpu.control.bandit import CompactTuner, MultiArmedBandit
+
+
+def test_warm_start_round_robin():
+    b = MultiArmedBandit(3)
+    picks = [b.select_arm() for _ in range(3 * MultiArmedBandit.START_SAMPLING)]
+    assert picks == [0, 1, 2] * MultiArmedBandit.START_SAMPLING
+
+
+def test_converges_to_best_arm():
+    rng = np.random.default_rng(0)
+    b = MultiArmedBandit(4)
+    true_means = [0.2, 0.5, 0.9, 0.4]
+    picks = []
+    for _ in range(2000):
+        arm = b.select_arm()
+        picks.append(arm)
+        b.update_arm(arm, true_means[arm] + rng.normal(0, 0.05))
+    # after warm-up, the best arm dominates
+    tail = picks[-500:]
+    assert tail.count(2) > 350
+
+
+def test_ew_update_factor_cap():
+    b = MultiArmedBandit(1)
+    for _ in range(100):
+        b.select_arm()
+        b.update_arm(0, 1.0)
+    # cap at 15 keeps the estimate responsive: after a regime change the
+    # estimate moves by 1/16 per update at least
+    b.update_arm(0, 0.0)
+    assert b.est_rewards[0] <= 1.0 - 1.0 / 16 + 1e-12
+
+
+def test_change_detection_resets():
+    b = MultiArmedBandit(2)
+    # warm up past start sampling
+    for _ in range(300):
+        arm = b.select_arm()
+        b.update_arm(arm, 1.0)
+    assert b.n_start_sampling >= 2 * b.START_SAMPLING
+    # drive reward up 3x and step to the next heartbeat boundary
+    detected = False
+    for _ in range(600):
+        arm = b.select_arm()
+        b.update_arm(arm, 5.0)
+        if b.n_start_sampling < 2 * b.START_SAMPLING:
+            detected = True
+            break
+    assert detected  # reset re-entered warm start
+
+
+def test_compact_tuner_maps_thresholds():
+    t = CompactTuner()
+    t.initialize(0, arms=(0, 64, 128))
+    t.initialize(1, arms=(0, 64, 128))
+    assert t.bandit_size() == 2
+    assert t.get_id(0) == 0 and t.get_id(7) == -1
+    thr = t.select_arm(0)
+    assert thr in (0, 64, 128)
+    t.update_arm(0, thr, reward=1.0)
+    t.update_arm(0, 999, reward=1.0)  # unknown threshold ignored
+    t.reset()
+    assert t.bandit_size() == 0
+
+
+def test_history_csv(tmp_path):
+    b = MultiArmedBandit(2)
+    for _ in range(1200):
+        arm = b.select_arm()
+        b.update_arm(arm, 0.5)
+    p = tmp_path / "hist.csv"
+    b.log_to_csv(str(p))
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == len(b.history) and len(lines) >= 3

@@ -1,0 +1,52 @@
+"""Bulk operator-at-a-time executor vs the scalar oracle."""
+
+import numpy as np
+import pytest
+
+from ccve_tpu.config import PayloadMode
+from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+from ccve_tpu.exec.bulk import bulk_count, bulk_materialize
+from ccve_tpu.exec.oracle import (
+    OracleBuildTable,
+    assert_same_multiset,
+    oracle_pipeline,
+)
+from ccve_tpu.ops.hash_table import build_csr, build_lp
+
+
+def _workload(n_joins, lhs, rhs, chunk_factor, kind):
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, chunk_factor)
+    builder = build_lp if kind == "lp" else build_csr
+    tables = [builder(keys, payloads) for _ in range(n_joins)]
+    oracles = [OracleBuildTable(keys, payloads) for _ in range(n_joins)]
+    return probe, tables, oracles
+
+
+@pytest.mark.parametrize("kind", ["lp", "csr"])
+@pytest.mark.parametrize("chunk_factor", [1, 3])
+def test_bulk_count_matches_oracle(kind, chunk_factor):
+    probe, tables, oracles = _workload(2, 900, 80, chunk_factor, kind)
+    expected = oracle_pipeline(probe, oracles, PayloadMode.FULL)
+    res = bulk_count(tables, probe)
+    assert int(res.count) == expected.shape[0]
+    # payload checksum per level: sum of the level's payload column
+    for l in range(2):
+        col = 2 + 2 * l + 1  # n_joins + 2l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+def test_bulk_count_tiled():
+    probe, tables, oracles = _workload(3, 700, 64, 2, "lp")
+    expected = oracle_pipeline(probe, oracles, PayloadMode.FULL)
+    res = bulk_count(tables, probe, tile_rows=128)
+    assert int(res.count) == expected.shape[0]
+
+
+@pytest.mark.parametrize("kind", ["lp", "csr"])
+def test_bulk_materialize_matches_oracle(kind):
+    probe, tables, oracles = _workload(2, 300, 48, 2, kind)
+    for mode in (PayloadMode.FULL, PayloadMode.REFERENCE):
+        expected = oracle_pipeline(probe, oracles, mode)
+        got = bulk_materialize(tables, probe, mode)
+        assert_same_multiset(got, expected)

@@ -30,7 +30,7 @@ def test_mt19937_known_values():
 @needs_native
 def test_probe_table_matches_native():
     n_rows, n_cols, rhs = 10_000, 3, 2_000_000
-    ours = datagen.gen_probe_table(n_rows, n_cols, rhs)
+    ours = datagen.gen_probe_table(n_rows, n_cols, rhs, use_native=False)
     theirs = np.zeros(n_rows * n_cols, dtype=np.int64)
     native.load().ccve_gen_probe_table(n_rows, n_cols, rhs, _p64(theirs))
     np.testing.assert_array_equal(ours.ravel(), theirs)
@@ -51,7 +51,7 @@ def test_rhs_table_matches_native(chunk_factor):
 @needs_native
 def test_microbench_keys_match_native():
     n, rhs_tuples, hit_freq = 50_000, 128, 2
-    ours = datagen.gen_microbench_keys(n, rhs_tuples, hit_freq)
+    ours = datagen.gen_microbench_keys(n, rhs_tuples, hit_freq, use_native=False)
     theirs = np.zeros(n, dtype=np.int64)
     native.load().ccve_gen_microbench_keys(n, rhs_tuples, hit_freq, _p64(theirs))
     np.testing.assert_array_equal(ours, theirs)

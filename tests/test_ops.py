@@ -1,0 +1,93 @@
+"""Filter, hash aggregate, radix sort vs NumPy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccve_tpu.core.chunk import Chunk, from_rows, to_rows
+from ccve_tpu.core.datagen import gen_zipf_keys
+from ccve_tpu.ops import filter as flt
+from ccve_tpu.ops.aggregate import dense_aggregate, hash_aggregate
+from ccve_tpu.ops.sort import radix_argsort, radix_sort, radix_sort_pairs
+
+
+def test_filter_chunk_composes_selection():
+    block = 128
+    rows = np.arange(100, dtype=np.int64).reshape(-1, 1)
+    c = from_rows(rows, block)
+    out = flt.filter_chunk(c, flt.mod_eq(3, 0), col=0)
+    got = to_rows(out)[:, 0]
+    np.testing.assert_array_equal(got, np.arange(0, 100, 3))
+    # zero-copy: same storage
+    assert out.cols is c.cols
+
+
+def test_filter_on_sliced_chunk():
+    block = 128
+    rows = np.arange(128, dtype=np.int64).reshape(-1, 1)
+    base = from_rows(rows, block)
+    first = flt.filter_chunk(base, flt.lt(60), col=0)
+    second = flt.filter_chunk(first, flt.ge(50), col=0)
+    np.testing.assert_array_equal(to_rows(second)[:, 0], np.arange(50, 60))
+
+
+def test_hash_aggregate_matches_numpy():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 50, size=1000).astype(np.int64)
+    vals = rng.integers(-100, 100, size=1000).astype(np.int64)
+    res = hash_aggregate(jnp.asarray(keys), jnp.asarray(vals))
+    ng = int(res.n_groups)
+    got = {
+        int(res.keys[g]): (
+            int(res.count[g]),
+            int(res.sum[g]),
+            int(res.min[g]),
+            int(res.max[g]),
+        )
+        for g in range(ng)
+    }
+    uniq = np.unique(keys)
+    assert ng == uniq.shape[0]
+    for k in uniq:
+        m = keys == k
+        assert got[int(k)] == (
+            int(m.sum()),
+            int(vals[m].sum()),
+            int(vals[m].min()),
+            int(vals[m].max()),
+        )
+
+
+def test_dense_aggregate_matches_hash_aggregate():
+    keys = gen_zipf_keys(2000, 64, alpha=1.2)
+    vals = np.arange(2000, dtype=np.int64)
+    d = dense_aggregate(jnp.asarray(keys), jnp.asarray(vals), 64)
+    h = hash_aggregate(jnp.asarray(keys), jnp.asarray(vals))
+    assert int(d.n_groups) == int(h.n_groups)
+    for g in range(int(h.n_groups)):
+        k = int(h.keys[g])
+        assert int(d.count[k]) == int(h.count[g])
+        assert int(d.sum[k]) == int(h.sum[g])
+
+
+@pytest.mark.parametrize("n", [512, 4096 * 3 + 17])
+def test_radix_sort_matches_numpy(n):
+    rng = np.random.default_rng(1)
+    keys = rng.integers(-(2**62), 2**62, size=n).astype(np.int64)
+    got = np.asarray(radix_sort(jnp.asarray(keys), tile=256, bits=64))
+    np.testing.assert_array_equal(got, np.sort(keys))
+
+
+def test_radix_argsort_stable():
+    keys = np.array([3, 1, 3, 1, 2, 2, 3] * 40, dtype=np.int64)
+    perm = np.asarray(radix_argsort(jnp.asarray(keys), tile=128, bits=8))
+    np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+
+
+def test_radix_sort_pairs_zipf():
+    keys = gen_zipf_keys(3000, 256, alpha=1.3)
+    vals = np.arange(3000, dtype=np.int64)
+    k, v = radix_sort_pairs(jnp.asarray(keys), jnp.asarray(vals), tile=256, bits=16)
+    order = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(k), keys[order])
+    np.testing.assert_array_equal(np.asarray(v), vals[order])

@@ -1,0 +1,146 @@
+"""End-to-end N-way join pipeline vs the scalar oracle, across hash-table
+types, compaction strategies, payload modes, and duplicate multiplicities
+(the test layer the reference lacks, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+from ccve_tpu.exec.oracle import (
+    OracleBuildTable,
+    assert_same_multiset,
+    oracle_pipeline,
+)
+from ccve_tpu.exec.pipeline import JoinPipeline
+from ccve_tpu.ops.hash_table import build_csr, build_lp
+
+BLOCK = 128
+
+
+def _setup(n_joins, lhs, rhs, chunk_factor, table_kind, strategy, payload_mode):
+    cfg = EngineConfig(
+        block_size=BLOCK,
+        n_joins=n_joins,
+        lhs_size=lhs,
+        rhs_size=rhs,
+        chunk_factor=chunk_factor,
+        strategy=strategy,
+        payload_mode=payload_mode,
+        collect_tuples=True,
+    )
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, chunk_factor)
+    builder = build_lp if table_kind == "lp" else build_csr
+    tables = [builder(keys, payloads) for _ in range(n_joins)]
+    oracles = [OracleBuildTable(keys, payloads) for _ in range(n_joins)]
+    expected = oracle_pipeline(probe, oracles, payload_mode)
+    return cfg, probe, tables, expected
+
+
+@pytest.mark.parametrize("table_kind", ["lp", "csr"])
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        CompactionStrategy.NONE,
+        CompactionStrategy.FULL,
+        CompactionStrategy.BINARY,
+    ],
+)
+def test_pipeline_matches_oracle(table_kind, strategy):
+    cfg, probe, tables, expected = _setup(
+        n_joins=2,
+        lhs=700,
+        rhs=96,
+        chunk_factor=2,
+        table_kind=table_kind,
+        strategy=strategy,
+        payload_mode=PayloadMode.FULL,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=8192)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_pipeline_reference_payload_mode():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2,
+        lhs=400,
+        rhs=64,
+        chunk_factor=1,
+        table_kind="csr",
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=4096)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    # REFERENCE mode: col n_joins+2l is always 0 (never written,
+    # chaining_ht.cpp:60-80,126-136)
+    assert (out["rows"][:, cfg.n_joins] == 0).all()
+
+
+def test_pipeline_dynamic_strategy():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2,
+        lhs=600,
+        rhs=64,
+        chunk_factor=2,
+        table_kind="lp",
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.FULL,
+    )
+    cfg = EngineConfig(
+        **{
+            **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+            "threshold_arms": (0, 32, 64, 128),
+            "tuner_segment_chunks": 2,
+        }
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=8192)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_pipeline_three_way_high_multiplicity():
+    """chunk_factor 4 → every probe hit fans out 4x per level: the
+    tiny-chunk cascade that compaction exists to fix (SURVEY.md §3.1)."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=3,
+        lhs=220,
+        rhs=32,
+        chunk_factor=4,
+        table_kind="csr",
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.FULL,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=1 << 17)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_pipeline_count_only():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2,
+        lhs=500,
+        rhs=64,
+        chunk_factor=1,
+        table_kind="lp",
+        strategy=CompactionStrategy.NONE,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = EngineConfig(
+        **{
+            **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+            "collect_tuples": False,
+        }
+    )
+    pipe = JoinPipeline(tables, cfg)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]

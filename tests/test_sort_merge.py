@@ -1,0 +1,60 @@
+"""Sort-merge join stats vs the hash paths and the oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccve_tpu.config import PayloadMode
+from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table, gen_zipf_keys
+from ccve_tpu.exec.bulk import bulk_count, lp_match_stats
+from ccve_tpu.exec.oracle import OracleBuildTable, oracle_pipeline
+from ccve_tpu.ops.hash_table import build_lp
+from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
+
+
+@pytest.mark.parametrize("chunk_factor", [1, 3])
+def test_sorted_stats_match_hash_stats(chunk_factor):
+    keys, payloads = gen_rhs_table(96, chunk_factor)
+    st = build_sorted(keys, payloads)
+    lp = build_lp(keys, payloads)
+    rng = np.random.default_rng(2)
+    probe = jnp.asarray(rng.integers(0, keys.max() + 2, 500).astype(np.int64))
+    a = sorted_match_stats(st, probe)
+    b = lp_match_stats(lp, probe)
+    np.testing.assert_array_equal(np.asarray(a.mult), np.asarray(b.mult))
+    np.testing.assert_array_equal(np.asarray(a.psum), np.asarray(b.psum))
+
+
+def test_sorted_stats_zipf_heavy_hitters():
+    keys, payloads = gen_rhs_table(64, 4)  # 4 dups per key
+    st = build_sorted(keys, payloads)
+    probe = jnp.asarray(gen_zipf_keys(800, 64, alpha=1.4) * (64 // 16))
+    lp = build_lp(keys, payloads)
+    a = sorted_match_stats(st, probe)
+    b = lp_match_stats(lp, probe)
+    np.testing.assert_array_equal(np.asarray(a.mult), np.asarray(b.mult))
+    np.testing.assert_array_equal(np.asarray(a.psum), np.asarray(b.psum))
+
+
+def test_bulk_count_with_sorted_tables():
+    n_joins = 2
+    probe = gen_probe_table(700, n_joins, 80)
+    keys, payloads = gen_rhs_table(80, 2)
+    tables = [build_sorted(keys, payloads) for _ in range(n_joins)]
+    oracles = [OracleBuildTable(keys, payloads)] * n_joins
+    expected = oracle_pipeline(probe, oracles, PayloadMode.FULL)
+    res = bulk_count(tables, probe)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+def test_sorted_stats_negative_payloads():
+    keys = np.array([5, 5, 9, 1], dtype=np.int64)
+    payloads = np.array([-10, 3, -7, 2], dtype=np.int64)
+    st = build_sorted(keys, payloads)
+    probe = jnp.asarray(np.array([5, 9, 1, 4], dtype=np.int64))
+    a = sorted_match_stats(st, probe, allow_negative=True)
+    np.testing.assert_array_equal(np.asarray(a.mult), [2, 1, 1, 0])
+    np.testing.assert_array_equal(np.asarray(a.psum), [-7, -7, 2, 0])
