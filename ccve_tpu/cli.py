@@ -52,6 +52,45 @@ def _add_micro(sub):
     p.set_defaults(func=cmd_micro)
 
 
+def _add_matrix(sub):
+    """The build_versions.sh axis (one binary per compaction strategy,
+    build_versions.sh:17-43) as a runtime sweep."""
+    p = sub.add_parser(
+        "strategy-matrix",
+        help="run the pipeline benchmark under every compaction strategy",
+    )
+    p.add_argument("--join-num", type=int, default=3)
+    p.add_argument("--chunk-factor", type=int, default=2)
+    p.add_argument("--lhs-size", type=int, default=1_000_000)
+    p.add_argument("--rhs-size", type=int, default=100_000)
+    p.add_argument("--block-size", type=int, default=2048)
+    p.add_argument("--table", choices=["lp", "csr"], default="csr")
+    p.set_defaults(func=cmd_matrix)
+
+
+def cmd_matrix(args) -> int:
+    import argparse as _ap
+
+    results = {}
+    for strategy in ("none", "full", "binary", "dynamic"):
+        sub_args = _ap.Namespace(
+            join_num=args.join_num,
+            chunk_factor=args.chunk_factor,
+            lhs_size=args.lhs_size,
+            rhs_size=args.rhs_size,
+            block_size=args.block_size,
+            strategy=strategy,
+            table=args.table,
+            executor="pipeline",
+            payload="reference",
+            collect_tuples=False,
+            segment_chunks=64,
+        )
+        print(f"\n==== strategy: {strategy} ====", file=sys.stderr)
+        cmd_pipeline(sub_args)
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
     from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
@@ -135,6 +174,7 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(required=True)
     _add_pipeline(sub)
     _add_micro(sub)
+    _add_matrix(sub)
     args = ap.parse_args(argv)
     return args.func(args)
 

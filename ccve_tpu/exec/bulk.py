@@ -47,42 +47,108 @@ class MatchStats(NamedTuple):
     psum: jax.Array  # int64[n]: sum of matched payloads per probe key
 
 
-def lp_match_stats(table: LPTable, keys: jax.Array) -> MatchStats:
-    """Drain the LP chain of every key in lock-step: advance until the
-    first EMPTY slot per lane (linear_probing_ht.cpp:60-115), early-exiting
-    when all lanes are done. ~1/(1-load) iterations at uniform load."""
+def lp_match_stats(
+    table: LPTable, keys: jax.Array, compact_lanes: bool | None = None
+) -> MatchStats:
+    """Drain the LP chain of every key: advance until the first EMPTY slot
+    per lane (linear_probing_ht.cpp:60-115).
+
+    At load factor <= 25% (the build invariant, linear_probing_ht.cpp:5-6)
+    only ~25% of lanes survive each step, so iterating at full width wastes
+    ~4x bandwidth per extra step. With `compact_lanes` (default on for
+    large batches), surviving lanes are stream-compacted into buffers on a
+    fixed shrink schedule (n/4 -> n/16 -> ...) between steps — the bulk
+    analogue of the reference's `bucket_sel_vector_` re-compaction
+    (chaining_ht.cpp:113-122). A lane-count overflow of the schedule (only
+    possible far above the design load factor) falls back to the
+    full-width path for the remaining lanes.
+    """
     n = keys.shape[0]
     slot_mask = jnp.uint64(table.n_slots - 1)
     h = (murmurhash64(keys) & slot_mask).astype(jnp.int32)
+    if compact_lanes is None:
+        compact_lanes = n >= (1 << 16)
 
+    zero64 = keys ^ keys  # varying-typed zeros (shard_map vma agreement)
+    mult = zero64.astype(jnp.int32)
+    psum = zero64
+
+    def step(keys_c, cursor_c, live_c):
+        """One probe step at the current (compacted) width."""
+        cand = jnp.take(table.slot_keys, cursor_c)
+        occupied = live_c & (cand != EMPTY)
+        hit = occupied & (cand == keys_c)
+        pay = jnp.take(table.slot_payloads, cursor_c)
+        nxt = (cursor_c + 1) & jnp.int32(table.n_slots - 1)
+        return hit, jnp.where(hit, pay, 0), occupied, nxt
+
+    if not compact_lanes:
+        def cond(st):
+            _, _, _, live = st
+            return jnp.any(live)
+
+        def body(st):
+            cursor, m, p, live = st
+            hit, payc, occupied, nxt = step(keys, cursor, live)
+            return nxt, m + hit.astype(jnp.int32), p + payc, occupied
+
+        _, mult, psum, _ = jax.lax.while_loop(
+            cond, body, (h, mult, psum, keys == keys)
+        )
+        return MatchStats(mult=mult, psum=psum)
+
+    # --- compacted schedule ------------------------------------------------
+    # Step 0 at full width; then shrink caps 4x per step (load <= 1/4 means
+    # expected survivors shrink 4x). idx maps compacted lanes -> original.
+    hit, payc, live, cursor = step(keys, h, keys == keys)
+    mult = mult + hit.astype(jnp.int32)
+    psum = psum + payc
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys_c, cursor_c, idx_c, live_c = keys, cursor, idx, live
+    cap = n
+    overflowed = jnp.asarray(False)
+    while cap > 4096:
+        new_cap = max(cap // 4, 4096)
+        pos = jnp.cumsum(live_c.astype(jnp.int32)) - 1
+        n_live = pos[-1] + 1
+        overflowed = overflowed | (n_live > new_cap)
+        scatter_pos = jnp.where(live_c, jnp.minimum(pos, new_cap - 1), new_cap)
+        keys_c = jnp.zeros(new_cap, jnp.int64).at[scatter_pos].set(keys_c, mode="drop")
+        cursor_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(cursor_c, mode="drop")
+        idx_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(idx_c, mode="drop")
+        lane = jnp.arange(new_cap, dtype=jnp.int32)
+        live_c = lane < n_live
+        cap = new_cap
+
+        hit, payc, live_c, cursor_c = step(keys_c, cursor_c, live_c)
+        mult = mult.at[idx_c].add(hit.astype(jnp.int32), mode="drop")
+        psum = psum.at[idx_c].add(payc, mode="drop")
+
+    # Drain the tail at the final width.
     def cond(st):
-        _, _, _, live = st
+        _, _, live, _, _ = st
         return jnp.any(live)
 
     def body(st):
-        cursor, mult, psum, live = st
-        cand = jnp.take(table.slot_keys, cursor)
-        occupied = cand != EMPTY
-        hit = live & occupied & (cand == keys)
-        mult = mult + hit.astype(jnp.int32)
-        pay = jnp.take(table.slot_payloads, cursor)
-        psum = psum + jnp.where(hit, pay, 0)
-        live = live & occupied
-        cursor = (cursor + 1) & jnp.int32(table.n_slots - 1)
-        return cursor, mult, psum, live
+        cursor_c, keys_c, live_c, m, p = st
+        hit, payc, live2, nxt = step(keys_c, cursor_c, live_c)
+        m = m.at[idx_c].add(hit.astype(jnp.int32), mode="drop")
+        p = p.at[idx_c].add(payc, mode="drop")
+        return nxt, keys_c, live2, m, p
 
-    # Init carries derived from `keys` so their varying-axis type matches
-    # the loop body's under shard_map (zeros/ones literals are replicated,
-    # body outputs are device-varying — lax.while_loop requires agreement).
-    zero64 = keys ^ keys
-    init = (
-        h,
-        zero64.astype(jnp.int32),
-        zero64,
-        keys == keys,
+    _, _, _, mult, psum = jax.lax.while_loop(
+        cond, body, (cursor_c, keys_c, live_c, mult, psum)
     )
-    _, mult, psum, _ = jax.lax.while_loop(cond, body, init)
-    return MatchStats(mult=mult, psum=psum)
+
+    # Overflow fallback: recompute exactly at full width (rare by design).
+    def full(_):
+        return lp_match_stats(table, keys, compact_lanes=False)
+
+    def keep(_):
+        return MatchStats(mult=mult, psum=psum)
+
+    return jax.lax.cond(overflowed, full, keep, None)
 
 
 def csr_match_stats(table: CSRTable, keys: jax.Array) -> MatchStats:
@@ -137,7 +203,13 @@ class BulkResult(NamedTuple):
 def _bulk_count_jit(tables: tuple, probe_cols: jax.Array) -> BulkResult:
     """Tables are pytrees (register_dataclass): array leaves trace, the
     max_run/max_len bounds ride along as static aux data."""
+    from ccve_tpu.ops.sort_merge import SortedTable, sorted_match_totals
+
     n_levels = len(tables)
+    if n_levels == 1 and isinstance(tables[0], SortedTable):
+        # single-level fast path: totals are order-invariant, skip unsort
+        count, chk = sorted_match_totals(tables[0], probe_cols[0])
+        return BulkResult(count=count, payload_checksums=chk[None])
     stats = [match_stats(tables[l], probe_cols[l]) for l in range(n_levels)]
     mults = [s.mult.astype(jnp.int64) for s in stats]
     prod = mults[0]

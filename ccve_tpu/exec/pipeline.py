@@ -59,6 +59,9 @@ class PipelineState(NamedTuple):
     result_count: jax.Array  # int64 scalar: rows emitted by the collector
     result_rows: jax.Array  # int64[W, capacity] materialized results
     result_stored: jax.Array  # int64 scalar: rows actually stored (<= capacity)
+    occupancy: jax.Array  # int64[n_levels, block+1]: ZebraProfiler-style
+    #   histogram of emitted-chunk occupancy per level (profiler.h:178-237,
+    #   keyed by live-row count; recorded on device, exported by the driver)
 
 
 class _WorkState(NamedTuple):
@@ -83,6 +86,7 @@ def init_pipeline_state(
         result_count=jnp.asarray(0, jnp.int64),
         result_rows=jnp.zeros((width, capacity), jnp.int64),
         result_stored=jnp.asarray(0, jnp.int64),
+        occupancy=jnp.zeros((n_levels, block + 1), jnp.int64),
     )
 
 
@@ -224,6 +228,12 @@ class JoinPipeline:
                     st.pstate.cache_count, new_cache.cache_count, cur, 0
                 ),
             )
+
+        # Zebra occupancy: record the emitted chunk's live-row count for
+        # this level (the histogram that shows the tiny-chunk cascade).
+        pstate = pstate._replace(
+            occupancy=pstate.occupancy.at[cur, emitted.count].add(1)
+        )
 
         # --- route the emitted chunk ------------------------------------
         has_rows = emitted.count > 0
@@ -478,6 +488,7 @@ class JoinPipeline:
             "count": int(pstate.result_count),
             "seconds": seconds,
             "chunks": n_chunks,
+            "occupancy": np.asarray(pstate.occupancy),
         }
         if cfg.collect_tuples:
             stored = int(pstate.result_stored)

@@ -74,25 +74,24 @@ def _segment_base(run_start: jax.Array, prefix: jax.Array, monotone: bool):
     return base
 
 
-def sorted_match_stats(
-    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
-) -> MatchStats:
-    """Per-probe-key (match count, matched-payload sum) via sort-merge."""
+def _merged_stats(table: SortedTable, probe_keys: jax.Array, allow_negative):
+    """Shared core: one stable sort of build∪probe plus prefix scans.
+    Returns (mult, psum, srow, is_build) in merged-sorted order, with
+    zeros at build positions."""
     m = table.keys.shape[0]
     n = probe_keys.shape[0]
 
+    # Builds precede probes at equal keys because they come first in the
+    # concat and the sort is stable — no tag operand needed.
     keys = jnp.concatenate([table.keys, probe_keys])
-    tag = jnp.concatenate(
-        [jnp.zeros(m, jnp.int32), jnp.ones(n, jnp.int32)]
-    )
     pay = jnp.concatenate([table.payloads, jnp.zeros(n, jnp.int64)])
     row = jnp.concatenate(
         [jnp.full(m, -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
     )
 
-    sk, stag, spay, srow = jax.lax.sort([keys, tag, pay, row], num_keys=2)
+    sk, spay, srow = jax.lax.sort([keys, pay, row], num_keys=1, is_stable=True)
 
-    is_build = stag == 0
+    is_build = srow < 0
     ib = is_build.astype(jnp.int32)
     c = jnp.cumsum(ib)  # inclusive build count
     bpay = jnp.where(is_build, spay, 0)
@@ -104,12 +103,41 @@ def sorted_match_stats(
     base_c = _segment_base(run_start, c - ib, monotone=True)
     base_p = _segment_base(run_start, pc - bpay, monotone=not allow_negative)
 
-    mult_sorted = (c - base_c).astype(jnp.int32)
-    psum_sorted = pc - base_p
+    mult_sorted = jnp.where(is_build, 0, c - base_c).astype(jnp.int32)
+    psum_sorted = jnp.where(is_build, 0, pc - base_p)
+    return mult_sorted, psum_sorted, srow, is_build
 
-    # Restore probe order: sort by row id; the m build entries (row=-1)
-    # sort to the front, probe rows land at positions m..m+n-1 in order.
-    _, mult, psum = jax.lax.sort(
-        [srow, mult_sorted, psum_sorted], num_keys=1
+
+def sorted_match_stats(
+    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
+) -> MatchStats:
+    """Per-probe-key (match count, matched-payload sum) via sort-merge,
+    in original probe-row order."""
+    m = table.keys.shape[0]
+    mult_sorted, psum_sorted, srow, is_build = _merged_stats(
+        table, probe_keys, allow_negative
     )
-    return MatchStats(mult=mult[m:], psum=psum[m:])
+    # Restore probe order: one more (cheap) sort keyed by row id, with
+    # mult packed into the key's low bits — build entries (row −1) sort to
+    # the front, probe rows land at positions m..m+n-1 in original order.
+    packed = (srow.astype(jnp.int64) << jnp.int64(32)) | mult_sorted.astype(
+        jnp.int64
+    )
+    packed_s, psum = jax.lax.sort([packed, psum_sorted], num_keys=1)
+    mult = (packed_s[m:] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    return MatchStats(mult=mult, psum=psum[m:])
+
+
+def sorted_match_totals(
+    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
+):
+    """(total match count, total matched-payload sum) for a single-level
+    join — order-invariant, so the unsort pass is skipped (~25% cheaper
+    than sorted_match_stats + sum)."""
+    mult_sorted, psum_sorted, _, _ = _merged_stats(
+        table, probe_keys, allow_negative
+    )
+    return (
+        jnp.sum(mult_sorted.astype(jnp.int64)),
+        jnp.sum(psum_sorted),
+    )

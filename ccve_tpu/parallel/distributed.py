@@ -107,6 +107,12 @@ def partition_tables(
         payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
     owner = _owner_np(keys, n_parts)
     parts = [np.nonzero(owner == p)[0] for p in range(n_parts)]
+    return _pack_partitions(keys, payloads, parts, n_parts, kind, mesh)
+
+
+def _pack_partitions(keys, payloads, parts, n_parts, kind, mesh):
+    """Build one local table per partition index list, padded to common
+    shapes and stacked on the leading axis."""
     max_count = max((idx.shape[0] for idx in parts), default=1)
     max_count = max(max_count, 1)
 
@@ -183,6 +189,26 @@ def _rebuild_csr(keys, payloads, n_buckets) -> CSRTable:
         entry_payloads=jnp.asarray(payloads[order]),
         max_len=int(counts.max(initial=1)),
     )
+
+
+def partition_tables_block(
+    keys: np.ndarray,
+    payloads: np.ndarray | None,
+    n_parts: int,
+    kind: str = "lp",
+    mesh: Mesh | None = None,
+) -> PartitionedTables:
+    """BLOCK-partitioned build (row ranges, no hash shuffle at build time)
+    for the ring join: partition p owns rows [p*ceil(n/P), ...). Every
+    probe key must then visit every partition — see dist_bulk_count_ring."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if payloads is None:
+        payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
+    per = -(-keys.shape[0] // n_parts)
+    owner = np.minimum(np.arange(keys.shape[0]) // per, n_parts - 1)
+    # reuse the hash-partition packing with an explicit owner assignment
+    parts = [np.nonzero(owner == p)[0] for p in range(n_parts)]
+    return _pack_partitions(keys, payloads, parts, n_parts, kind, mesh)
 
 
 class DistResult(NamedTuple):
@@ -291,6 +317,81 @@ def dist_bulk_count(
 
     f = jax.jit(
         jax.shard_map(spmd, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+    count, chks, skew, overflow = f(table_leaves, probe_sharded)
+    return DistResult(
+        count=count, payload_checksums=chks, skew=skew, overflow=overflow
+    )
+
+
+def dist_bulk_count_ring(
+    mesh: Mesh,
+    ptables: Sequence[PartitionedTables],
+    probe_rows: np.ndarray | jax.Array,
+) -> DistResult:
+    """Ring (fragment-replicate) N-way join count for BLOCK-partitioned
+    builds (partition_tables_block): no radix shuffle — instead each
+    device's probe chunk visits every partition via P-1 `ppermute`
+    rotations, accumulating per-row (mult, psum) that travel with the
+    chunk; multiplicities are additive across partitions. After a full
+    rotation the chunk is home, so the factorized count needs no inverse
+    routing. This is the TPU analogue of ring-exchange joins (and
+    structurally of ring attention's KV rotation), trading P× probe
+    compute for zero shuffle-capacity risk — the right choice when the
+    build side is small or heavily skewed.
+    """
+    n_parts = mesh.devices.size
+    probe = jnp.asarray(probe_rows, jnp.int64)
+    n, n_joins = probe.shape
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate(
+            [probe, jnp.full((pad, n_joins), -2, jnp.int64)]
+        )
+    probe_sharded = jax.device_put(probe, NamedSharding(mesh, P(AXIS, None)))
+    table_leaves = tuple(pt.arrays for pt in ptables)
+    in_specs = (jax.tree.map(lambda _: P(AXIS), table_leaves), P(AXIS, None))
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+
+    def spmd(table_leaves, probe_local):
+        keys = probe_local.T  # [n_joins, per_dev]
+        mult = jnp.zeros((len(ptables), per_dev), jnp.int64)
+        psum = jnp.zeros((len(ptables), per_dev), jnp.int64)
+        carry = (keys, mult, psum)
+        for _ in range(n_parts):
+            keys, mult, psum = carry
+            new_mult, new_psum = [], []
+            for l, pt in enumerate(ptables):
+                arrs = tuple(a[0] for a in table_leaves[l])
+                s = match_stats(pt.local_table(arrs), keys[l])
+                new_mult.append(mult[l] + s.mult.astype(jnp.int64))
+                new_psum.append(psum[l] + s.psum)
+            carry = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, AXIS, perm),
+                (keys, jnp.stack(new_mult), jnp.stack(new_psum)),
+            )
+        keys, mult, psum = carry  # home again after P rotations
+        prod = mult[0]
+        for l in range(1, len(ptables)):
+            prod = prod * mult[l]
+        count = jax.lax.psum(jnp.sum(prod), AXIS)
+        chks = []
+        for l in range(len(ptables)):
+            others = jnp.where(mult[l] > 0, prod // mult[l], 0)
+            chks.append(jax.lax.psum(jnp.sum(psum[l] * others), AXIS))
+        return (
+            count,
+            jnp.stack(chks),
+            jnp.ones((), jnp.float32),  # ring visits all: skew N/A
+            jnp.zeros((), bool),  # no shuffle capacity to overflow
+        )
+
+    f = jax.jit(
+        jax.shard_map(
+            spmd, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(), P(), P(), P()),
+        )
     )
     count, chks, skew, overflow = f(table_leaves, probe_sharded)
     return DistResult(

@@ -50,3 +50,21 @@ def test_bulk_materialize_matches_oracle(kind):
         expected = oracle_pipeline(probe, oracles, mode)
         got = bulk_materialize(tables, probe, mode)
         assert_same_multiset(got, expected)
+
+
+def test_lp_match_stats_compacted_lanes():
+    """Compacted-lane schedule must agree with the plain full-width path."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.core.datagen import gen_rhs_table
+    from ccve_tpu.exec.bulk import lp_match_stats
+    from ccve_tpu.ops.hash_table import build_lp
+
+    keys, payloads = gen_rhs_table(2048, 2)
+    table = build_lp(keys, payloads)
+    rng = np.random.default_rng(5)
+    probe = jnp.asarray(rng.integers(0, keys.max() + 2, 8192).astype(np.int64))
+    a = lp_match_stats(table, probe, compact_lanes=True)
+    b = lp_match_stats(table, probe, compact_lanes=False)
+    np.testing.assert_array_equal(np.asarray(a.mult), np.asarray(b.mult))
+    np.testing.assert_array_equal(np.asarray(a.psum), np.asarray(b.psum))

@@ -57,3 +57,27 @@ def test_dist_overflow_flag():
     ptables = [partition_tables(keys, payloads, 4, "lp", mesh)]
     res = dist_bulk_count(mesh, ptables, probe, cap_slack=0.1)
     assert bool(res.overflow)
+
+
+def test_dist_ring_matches_oracle():
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_ring,
+        partition_tables_block,
+    )
+
+    mesh = make_join_mesh(4)
+    n_joins, lhs, rhs = 2, 500, 64
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    ptables = [
+        partition_tables_block(keys, payloads, 4, kind, mesh)
+        for kind in ("lp", "csr")
+    ]
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.FULL
+    )
+    res = dist_bulk_count_ring(mesh, ptables, probe)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())

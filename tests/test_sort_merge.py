@@ -58,3 +58,16 @@ def test_sorted_stats_negative_payloads():
     a = sorted_match_stats(st, probe, allow_negative=True)
     np.testing.assert_array_equal(np.asarray(a.mult), [2, 1, 1, 0])
     np.testing.assert_array_equal(np.asarray(a.psum), [-7, -7, 2, 0])
+
+
+def test_sorted_match_totals():
+    keys, payloads = gen_rhs_table(80, 3)
+    st = build_sorted(keys, payloads)
+    rng = np.random.default_rng(9)
+    probe = jnp.asarray(rng.integers(0, keys.max() + 2, 700).astype(np.int64))
+    from ccve_tpu.ops.sort_merge import sorted_match_totals
+
+    stats = sorted_match_stats(st, probe)
+    count, psum = sorted_match_totals(st, probe)
+    assert int(count) == int(np.asarray(stats.mult).sum())
+    assert int(psum) == int(np.asarray(stats.psum).sum())
