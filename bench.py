@@ -4,19 +4,20 @@ Workload = BASELINE.json config 1: one equi-join, 1M build rows / 16M
 probe rows, uniform int64 keys (the reference pipeline driver's
 generators, main.cpp:41-55 / linear_probing_ht.cpp:14-25, reproduced
 bit-exactly by core/datagen.py). The measured operator is the full probe:
-locate every match of every probe key, count it, and gather+sum the
-matched build payloads — the same per-key work the reference micro-bench
-times (simd_micro_bench.cpp:155-186), plus payload gathering the
-reference skips (it stores no payloads).
+locate every match of every probe key, count it, and sum the matched
+build payloads — the same per-key work the reference micro-bench times
+(simd_micro_bench.cpp:155-186), plus payload aggregation the reference
+skips (it stores no payloads).
 
-Two engines are measured (both verified against the same expected count):
- - hash_lp:    linear-probing table + batched gather probe
-   (exec/bulk.lp_match_stats) — the reference's algorithm, TPU-ified;
- - sort_merge: gather-free sort-merge stats (ops/sort_merge.py) — the
-   TPU-native formulation (the TPU has no random-gather hardware; XLA
-   sort outruns XLA gather ~5x per pass here).
-
-The headline metric is the faster engine's rows/s.
+Engine: the gather-free sort-merge path (ops/sort_merge.py) — on TPU the
+VPU has no random-gather unit, and XLA's sort outruns its gather ~5x per
+pass, so sort-merge beats the literal hash-probe translation ~70x here
+(PERF_NOTES.md). The hash-probe engines (exec/bulk.lp_match_stats /
+csr_match_stats) remain available via `cli baseline --config 1
+--engine hash_lp`; this bench cross-checks the hash engine's counts on a
+1M-probe subset (compile cost of its unrolled drain over the remote-
+compile tunnel makes full-scale timing a poor use of the bench budget —
+see PERF_NOTES.md).
 
 Baseline: the reference's best recorded numbers are AVX-512 cycles/key on
 its open-addressing table — 4.06 (probe) + 5.22 (next) = 9.28 cycles/key
@@ -50,45 +51,51 @@ def main() -> None:
     print(f"datagen: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    engines = {
-        "hash_lp": build_lp(keys, payloads),
-        "sort_merge": build_sorted(keys, payloads),
-    }
-    jax.block_until_ready([t for t in engines.values()])
+    sorted_table = build_sorted(keys, payloads)
+    lp_table = build_lp(keys, payloads)
+    jax.block_until_ready(sorted_table.keys)
     print(f"build: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     probe_dev = jax.device_put(jnp.asarray(probe))
     jax.block_until_ready(probe_dev)
 
-    # probe keys are uniform in [0, N_BUILD]; build keys are 0..N_BUILD-1
+    # probe keys are uniform in [0, N_BUILD]; build keys 0..N_BUILD-1
     # unique, so expected matches = #(key < N_BUILD)
     expected_count = int((probe[:, 0] < N_BUILD).sum())
 
-    best = {}
-    for name, table in engines.items():
-        def run(table=table):
-            res = bulk_count([table], probe_dev)
-            jax.block_until_ready(res)
-            return res
+    def run():
+        res = bulk_count([sorted_table], probe_dev)
+        jax.block_until_ready(res)
+        return res
 
-        res = run()  # warm-up / compile
-        assert int(res.count) == expected_count, (
-            f"{name}: count {int(res.count)} != expected {expected_count}"
-        )
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
-        best[name] = min(times)
-        print(
-            f"{name}: best {best[name] * 1e3:.2f} ms "
-            f"({N_PROBE / best[name] / 1e6:.1f}M rows/s)",
-            file=sys.stderr,
-        )
+    res = run()  # warm-up / compile
+    assert int(res.count) == expected_count, (
+        f"count {int(res.count)} != expected {expected_count}"
+    )
 
-    winner = min(best, key=best.get)
-    rows_per_s = N_PROBE / best[winner]
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rows_per_s = N_PROBE / best
+    print(
+        f"sort_merge: best {best * 1e3:.2f} ms "
+        f"({rows_per_s / 1e6:.1f}M rows/s)",
+        file=sys.stderr,
+    )
+
+    # hash-probe engine correctness cross-check on a 1M subset (results
+    # must agree engine-for-engine; see module docstring for why it is
+    # not the timed path)
+    sub = probe_dev[: 1 << 20]
+    a = bulk_count([sorted_table], sub)
+    b = bulk_count([lp_table], sub)
+    assert int(a.count) == int(b.count), (int(a.count), int(b.count))
+    assert int(a.payload_checksums[0]) == int(b.payload_checksums[0])
+    print("hash_lp cross-check (1M subset): ok", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -96,10 +103,7 @@ def main() -> None:
                 "value": rows_per_s,
                 "unit": "rows/s",
                 "vs_baseline": rows_per_s / BASELINE_ROWS_PER_S,
-                "engine": winner,
-                "all_engines_rows_per_s": {
-                    k: N_PROBE / v for k, v in best.items()
-                },
+                "engine": "sort_merge",
             }
         )
     )

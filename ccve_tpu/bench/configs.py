@@ -1,0 +1,228 @@
+"""Runnable BASELINE.json benchmark configurations.
+
+Each `configN_*` function is size-parameterized (tiny sizes for CI on the
+CPU mesh, full sizes for the chip) and returns a metrics dict with at
+least {name, rows_per_s or seconds, validation fields}. The CLI exposes
+them as `python -m ccve_tpu.cli baseline --config N`.
+
+ 1. Single equi-join, 1M build / 16M probe uniform (the headline; also
+    driven by bench.py).
+ 2. Chaining-HT join behind a ~10%-selective filter — full vs dynamic
+    chunk compaction on under-filled chunks (pipelined executor).
+ 3. 4-way chained join with ~50% per-level hit rate — the shrinking-chunk
+    cascade from the parent project.
+ 4. Join + hash aggregate + radix sort on Zipf-skewed keys, with
+    heavy-hitter / partition-skew statistics.
+ 5. Distributed hash join over a device mesh with the radix shuffle
+    (scaling-efficiency harness; CPU mesh in CI, chip mesh when present).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+
+
+def _timed(fn, *args, reps=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merge"):
+    """Single equi-join; engine in {sort_merge, hash_lp, hash_csr}."""
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.bulk import bulk_count
+    from ccve_tpu.ops.hash_table import build_csr, build_lp
+    from ccve_tpu.ops.sort_merge import build_sorted
+
+    keys, payloads = gen_rhs_table(n_build, 1)
+    probe = gen_probe_table(n_probe, 1, n_build)
+    builder = {
+        "sort_merge": build_sorted,
+        "hash_lp": build_lp,
+        "hash_csr": build_csr,
+    }[engine]
+    table = builder(keys, payloads)
+    probe_dev = jax.device_put(jnp.asarray(probe))
+
+    best, res = _timed(lambda p: bulk_count([table], p), probe_dev)
+    expected = int((probe[:, 0] < n_build).sum())
+    assert int(res.count) == expected, (int(res.count), expected)
+    return {
+        "name": "config1_single_join",
+        "engine": engine,
+        "rows_per_s": n_probe / best,
+        "seconds": best,
+        "count": int(res.count),
+    }
+
+
+def config2_filtered_join(
+    lhs=1_000_000, rhs=100_000, block=2048, selectivity_mod=10
+):
+    """Filtered chaining join, full vs dynamic compaction."""
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.oracle import OracleBuildTable, oracle_pipeline
+    from ccve_tpu.ops import filter as flt
+    from ccve_tpu.ops.hash_table import build_csr
+    from ccve_tpu.exec.pipeline import JoinPipeline
+
+    n_joins = 1
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    table = build_csr(keys, payloads)
+    kept = probe[probe[:, 0] % selectivity_mod == 0]
+    expected = oracle_pipeline(
+        kept, [OracleBuildTable(keys, payloads)], PayloadMode.REFERENCE
+    ).shape[0]
+
+    out = {"name": "config2_filtered_join", "expected": expected}
+    for strategy in (CompactionStrategy.FULL, CompactionStrategy.DYNAMIC):
+        cfg = EngineConfig(
+            block_size=block,
+            n_joins=n_joins,
+            lhs_size=lhs,
+            rhs_size=rhs,
+            chunk_factor=2,
+            strategy=strategy,
+            payload_mode=PayloadMode.REFERENCE,
+        )
+        pipe = JoinPipeline(
+            [table], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
+        )
+        r = pipe.run(probe)
+        assert r["count"] == expected, (strategy, r["count"], expected)
+        out[strategy.value] = {
+            "seconds": r["seconds"],
+            "rows_per_s": lhs / r["seconds"],
+        }
+    return out
+
+
+def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
+    """4-way chained join, ~50% per-level hit rate (shrinking chunks)."""
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.bulk import bulk_count
+    from ccve_tpu.exec.oracle import OracleBuildTable, oracle_pipeline
+    from ccve_tpu.exec.pipeline import JoinPipeline
+    from ccve_tpu.ops.hash_table import build_csr, build_lp
+
+    n_joins = 4
+    probe = gen_probe_table(lhs, n_joins, 2 * rhs)  # keys in [0, 2*rhs]
+    keys, payloads = gen_rhs_table(rhs, 1)
+    builder = build_csr if table_kind == "csr" else build_lp
+    tables = [builder(keys, payloads) for _ in range(n_joins)]
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.REFERENCE
+    ).shape[0]
+
+    out = {"name": "config3_four_way", "expected": expected}
+    bres = bulk_count(tables, probe)
+    assert int(bres.count) == expected
+    best, _ = _timed(lambda p: bulk_count(tables, jnp.asarray(p)), probe)
+    out["bulk"] = {"seconds": best, "rows_per_s": lhs / best}
+    for strategy in (CompactionStrategy.NONE, CompactionStrategy.FULL):
+        cfg = EngineConfig(
+            block_size=block,
+            n_joins=n_joins,
+            lhs_size=lhs,
+            rhs_size=rhs,
+            strategy=strategy,
+            payload_mode=PayloadMode.REFERENCE,
+        )
+        pipe = JoinPipeline(tables, cfg)
+        r = pipe.run(probe)
+        assert r["count"] == expected, (strategy, r["count"], expected)
+        out[strategy.value] = {
+            "seconds": r["seconds"],
+            "rows_per_s": lhs / r["seconds"],
+        }
+    return out
+
+
+def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
+    """Zipf join + hash aggregate + radix sort, with skew stats."""
+    from ccve_tpu.core.datagen import gen_rhs_table, gen_zipf_keys
+    from ccve_tpu.ops.aggregate import hash_aggregate, partition_histogram
+    from ccve_tpu.ops.hash_table import build_lp
+    from ccve_tpu.exec.bulk import lp_match_stats
+    from ccve_tpu.ops.sort import radix_sort_pairs
+
+    keys, payloads = gen_rhs_table(domain, 1)
+    table = build_lp(keys, payloads)
+    probe = jnp.asarray(gen_zipf_keys(n_probe, domain, alpha))
+
+    def run(p):
+        stats = lp_match_stats(table, p)
+        agg = hash_aggregate(p, stats.psum)
+        sk, sv = radix_sort_pairs(agg.keys, agg.sum, bits=48)
+        return stats.mult.astype(jnp.int64).sum(), agg.n_groups, sk[-1], sv[-1]
+
+    best, out = _timed(run, probe)
+    hist = np.asarray(partition_histogram(probe, 16))
+    skew = float(hist.max() / max(hist.mean(), 1.0))
+    return {
+        "name": "config4_zipf_pipeline",
+        "seconds": best,
+        "rows_per_s": n_probe / best,
+        "matches": int(out[0]),
+        "n_groups": int(out[1]),
+        "partition_skew_16": skew,
+    }
+
+
+def config5_distributed(n_build=100_000, n_probe=1_000_000, n_devices=None):
+    """Distributed join: radix shuffle on the available mesh + per-device
+    scaling efficiency vs the single-device bulk path."""
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.bulk import bulk_count
+    from ccve_tpu.ops.sort_merge import build_sorted
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count,
+        make_join_mesh,
+        partition_tables,
+    )
+
+    n_devices = n_devices or len(jax.devices())
+    keys, payloads = gen_rhs_table(n_build, 1)
+    probe = gen_probe_table(n_probe, 1, n_build)
+
+    # single-device reference timing (sort-merge engine)
+    table = build_sorted(keys, payloads)
+    probe_dev = jax.device_put(jnp.asarray(probe))
+    t1, ref = _timed(lambda p: bulk_count([table], p), probe_dev)
+
+    mesh = make_join_mesh(n_devices)
+    ptables = [partition_tables(keys, payloads, n_devices, "lp", mesh)]
+    tp, res = _timed(lambda p: dist_bulk_count(mesh, ptables, p), probe)
+    assert int(res.count) == int(ref.count)
+    eff = (n_probe / tp) / (n_devices * (n_probe / t1))
+    return {
+        "name": "config5_distributed",
+        "n_devices": n_devices,
+        "rows_per_s": n_probe / tp,
+        "single_device_rows_per_s": n_probe / t1,
+        "scaling_efficiency": eff,
+        "skew": float(res.skew),
+        "overflow": bool(res.overflow),
+    }
+
+
+ALL_CONFIGS = {
+    1: config1_single_join,
+    2: config2_filtered_join,
+    3: config3_four_way,
+    4: config4_zipf_pipeline,
+    5: config5_distributed,
+}

@@ -169,12 +169,42 @@ def cmd_micro(args) -> int:
     return 0
 
 
+def _add_baseline(sub):
+    p = sub.add_parser(
+        "baseline", help="run a BASELINE.json benchmark configuration"
+    )
+    p.add_argument("--config", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    p.add_argument(
+        "--tiny", action="store_true", help="CI-sized workload (CPU-friendly)"
+    )
+    p.set_defaults(func=cmd_baseline)
+
+
+def cmd_baseline(args) -> int:
+    import json
+
+    from ccve_tpu.bench.configs import ALL_CONFIGS
+
+    tiny_kwargs = {
+        1: dict(n_build=4096, n_probe=65536),
+        2: dict(lhs=5000, rhs=512, block=256),
+        3: dict(lhs=4000, rhs=256, block=256),
+        4: dict(n_probe=50_000, domain=1024),
+        5: dict(n_build=2048, n_probe=20_000),
+    }
+    kwargs = tiny_kwargs[args.config] if args.tiny else {}
+    result = ALL_CONFIGS[args.config](**kwargs)
+    print(json.dumps(result, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ccve_tpu")
     sub = ap.add_subparsers(required=True)
     _add_pipeline(sub)
     _add_micro(sub)
     _add_matrix(sub)
+    _add_baseline(sub)
     args = ap.parse_args(argv)
     return args.func(args)
 

@@ -98,18 +98,31 @@ def lp_match_stats(
         return MatchStats(mult=mult, psum=psum)
 
     # --- compacted schedule ------------------------------------------------
-    # Step 0 at full width; then shrink caps 4x per step (load <= 1/4 means
-    # expected survivors shrink 4x). idx maps compacted lanes -> original.
-    hit, payc, live, cursor = step(keys, h, keys == keys)
-    mult = mult + hit.astype(jnp.int32)
-    psum = psum + payc
+    # Step 0 runs at full width with lane-aligned accumulators (no
+    # scatter). Each later stage compacts survivors ~4x (with slack — LP
+    # occupancy clusters into runs, so the independent-slot estimate is
+    # optimistic), runs ONE step, and flushes that step's hits back with a
+    # single scatter-add of only the hitting lanes. The tail drains in a
+    # while_loop with STAGE-LOCAL accumulators flushed once at the end —
+    # scatter-adds into the full-width arrays inside the loop are what
+    # made the first version slower than no compaction at all (whole-array
+    # copies per iteration, measured on chip).
+    hit, payc, live_c, cursor_c = step(keys, h, keys == keys)
+    mult = hit.astype(jnp.int32)
+    psum = payc
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    keys_c, cursor_c, idx_c, live_c = keys, cursor, idx, live
+    keys_c = keys
+    idx_c = jnp.arange(n, dtype=jnp.int32)
     cap = n
+    floor = max(n // 16, 16384)
     overflowed = jnp.asarray(False)
-    while cap > 4096:
-        new_cap = max(cap // 4, 4096)
+    # Halving caps with a floor: LP occupancy clusters into runs, so
+    # survivor counts decay much slower than the 4x independent-slot
+    # estimate — 4x caps overflow at stage 2+ in practice (measured: the
+    # fallback then costs more than no compaction). Halving keeps >=2x
+    # margin at 25% load; the floor bounds the number of flush scatters.
+    while cap > floor:
+        new_cap = max(cap // 2, floor)
         pos = jnp.cumsum(live_c.astype(jnp.int32)) - 1
         n_live = pos[-1] + 1
         overflowed = overflowed | (n_live > new_cap)
@@ -122,24 +135,29 @@ def lp_match_stats(
         cap = new_cap
 
         hit, payc, live_c, cursor_c = step(keys_c, cursor_c, live_c)
-        mult = mult.at[idx_c].add(hit.astype(jnp.int32), mode="drop")
-        psum = psum.at[idx_c].add(payc, mode="drop")
+        safe_idx = jnp.where(hit, idx_c, n)  # touch only rows that hit
+        mult = mult.at[safe_idx].add(hit.astype(jnp.int32), mode="drop")
+        psum = psum.at[safe_idx].add(payc, mode="drop")
 
-    # Drain the tail at the final width.
+    # Drain the tail at the final width with stage-local accumulators.
     def cond(st):
         _, _, live, _, _ = st
         return jnp.any(live)
 
     def body(st):
-        cursor_c, keys_c, live_c, m, p = st
-        hit, payc, live2, nxt = step(keys_c, cursor_c, live_c)
-        m = m.at[idx_c].add(hit.astype(jnp.int32), mode="drop")
-        p = p.at[idx_c].add(payc, mode="drop")
-        return nxt, keys_c, live2, m, p
+        cursor_t, keys_t, live_t, am, ap = st
+        hit, payc, live2, nxt = step(keys_t, cursor_t, live_t)
+        return nxt, keys_t, live2, am + hit.astype(jnp.int32), ap + payc
 
-    _, _, _, mult, psum = jax.lax.while_loop(
-        cond, body, (cursor_c, keys_c, live_c, mult, psum)
+    zc = keys_c ^ keys_c
+    _, _, _, acc_m, acc_p = jax.lax.while_loop(
+        cond,
+        body,
+        (cursor_c, keys_c, live_c, zc.astype(jnp.int32), zc),
     )
+    safe_idx = jnp.where(acc_m > 0, idx_c, n)
+    mult = mult.at[safe_idx].add(acc_m, mode="drop")
+    psum = psum.at[safe_idx].add(acc_p, mode="drop")
 
     # Overflow fallback: recompute exactly at full width (rare by design).
     def full(_):

@@ -107,9 +107,18 @@ class JoinPipeline:
         tables: Sequence[LPTable | CSRTable],
         config: EngineConfig,
         result_capacity: int | None = None,
+        prefilter=None,
+        prefilter_col: int = 0,
     ):
+        """`prefilter`: optional traced predicate over one input column
+        (ops/filter predicates) applied before level 0 — the canonical
+        producer of under-filled chunks (BASELINE config 2); the filtered
+        chunk flows into the join with a composed selection vector, NOT
+        re-densified, so compaction strategies see real sparsity."""
         self.tables = list(tables)
         self.config = config
+        self.prefilter = prefilter
+        self.prefilter_col = prefilter_col
         self.n_levels = len(tables)
         self.block = config.block_size
         self.width = config.n_joins + 2 * self.n_levels
@@ -132,8 +141,12 @@ class JoinPipeline:
         )
 
     def _probe_level(self, level_static: int, keys, count) -> ScanState:
+        return self._probe_level_sel(
+            level_static, keys, iota_sel(self.block), count
+        )
+
+    def _probe_level_sel(self, level_static: int, keys, sel, count) -> ScanState:
         table = self.tables[level_static]
-        sel = iota_sel(self.block)
         if isinstance(table, LPTable):
             return lp_probe(table, keys, sel, count)
         return csr_probe(table, keys, sel, count)
@@ -352,7 +365,19 @@ class JoinPipeline:
             cols, count = xs
             work = self._fresh_work(ps)
             padded = work.in_cols.at[0, : self.config.n_joins, :].set(cols)
-            scan0 = self._probe_level(0, cols[0], count)
+            if self.prefilter is not None:
+                from ccve_tpu.core.chunk import compress_indices
+
+                lane = jnp.arange(self.block, dtype=jnp.int32)
+                keep = (lane < count) & self.prefilter(
+                    cols[self.prefilter_col]
+                )
+                sel0, count = compress_indices(keep)
+                # probe through the filtered selection vector: the level-0
+                # scan sees an under-filled chunk (sel sparsity preserved)
+                scan0 = self._probe_level_sel(0, cols[0], sel0, count)
+            else:
+                scan0 = self._probe_level(0, cols[0], count)
             work = work._replace(
                 in_cols=padded,
                 in_count=work.in_count.at[0].set(count),

@@ -1,0 +1,44 @@
+"""BASELINE benchmark configs at CI sizes (every config self-validates
+its counts against the oracle or the single-device reference)."""
+
+import pytest
+
+from ccve_tpu.bench import configs
+
+
+def test_config1_tiny():
+    r = configs.config1_single_join(n_build=2048, n_probe=16384)
+    assert r["count"] > 0 and r["rows_per_s"] > 0
+
+
+@pytest.mark.parametrize("engine", ["hash_lp", "hash_csr"])
+def test_config1_engines_agree(engine):
+    a = configs.config1_single_join(2048, 16384, engine="sort_merge")
+    b = configs.config1_single_join(2048, 16384, engine=engine)
+    assert a["count"] == b["count"]
+
+
+def test_config2_tiny():
+    r = configs.config2_filtered_join(lhs=4000, rhs=512, block=256)
+    assert r["full_compaction"]["seconds"] > 0
+    assert r["dynamic_compaction"]["seconds"] > 0
+
+
+def test_config3_tiny():
+    r = configs.config3_four_way(lhs=3000, rhs=256, block=256)
+    assert r["bulk"]["seconds"] > 0
+    assert r["no_compaction"]["seconds"] > 0
+    assert r["full_compaction"]["seconds"] > 0
+
+
+def test_config4_tiny():
+    r = configs.config4_zipf_pipeline(n_probe=40_000, domain=512, alpha=1.3)
+    assert r["matches"] > 0
+    assert r["n_groups"] <= 512
+    assert r["partition_skew_16"] >= 1.0
+
+
+def test_config5_tiny():
+    r = configs.config5_distributed(n_build=2048, n_probe=20_000, n_devices=4)
+    assert not r["overflow"]
+    assert r["scaling_efficiency"] > 0

@@ -91,3 +91,22 @@ def test_radix_sort_pairs_zipf():
     order = np.argsort(keys, kind="stable")
     np.testing.assert_array_equal(np.asarray(k), keys[order])
     np.testing.assert_array_equal(np.asarray(v), vals[order])
+
+
+def test_matmul_cumsum_i32():
+    from ccve_tpu.ops.scan_utils import cumsum_small_i32
+
+    rng = np.random.default_rng(3)
+    x = (rng.random(10_000) < 0.3).astype(np.int32)
+    got = np.asarray(cumsum_small_i32(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x))
+
+
+def test_matmul_cumsum_i64_limbs():
+    from ccve_tpu.ops.scan_utils import cumsum_i64_limbs
+
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 2**62, size=3000).astype(np.int64)
+    x[::7] = 0
+    got = np.asarray(cumsum_i64_limbs(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x))

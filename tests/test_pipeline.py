@@ -144,3 +144,40 @@ def test_pipeline_count_only():
     pipe = JoinPipeline(tables, cfg)
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
+
+
+def test_pipeline_with_prefilter():
+    """BASELINE config 2 shape: ~10% selective filter feeding the join —
+    under-filled chunks exercised against full compaction."""
+    from ccve_tpu.ops import filter as flt
+
+    cfg = EngineConfig(
+        block_size=BLOCK,
+        n_joins=2,
+        lhs_size=900,
+        rhs_size=96,
+        chunk_factor=2,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.FULL,
+        collect_tuples=True,
+    )
+    probe = gen_probe_table(900, 2, 96)
+    keys, payloads = gen_rhs_table(96, 2)
+    tables = [build_csr(keys, payloads) for _ in range(2)]
+    kept = probe[probe[:, 0] % 8 == 0]  # ~12.5% selectivity
+    expected = oracle_pipeline(
+        kept, [OracleBuildTable(keys, payloads)] * 2, PayloadMode.FULL
+    )
+    pipe = JoinPipeline(
+        tables,
+        cfg,
+        result_capacity=8192,
+        prefilter=flt.mod_eq(8, 0),
+        prefilter_col=0,
+    )
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    # occupancy histogram must show under-filled level-0 emissions
+    occ = out["occupancy"]
+    assert occ.sum() > 0
