@@ -1,0 +1,161 @@
+"""Pallas fused merge-scan: all sort-merge prefix scans in one pass.
+
+After the sort-merge join's single sort (ops/sort_merge.py), computing
+per-element (mult, psum) takes four XLA scans (two cumsums, two cummaxes)
+plus elementwise glue — each scan is a separate multi-pass HBM sweep
+(~15 GB/s effective, measured). This kernel fuses ALL of it into one
+linear pass over the sorted stream with carries in SMEM:
+
+  per tile [8, 128] (flat order, kernels/flatvec.py):
+    build tag     = LSB of the tagged payload (pay*2+1 builds, 0 probes)
+    c             = running build count        (Hillis prefix + carry)
+    pc            = running build payload sum  (u32-limb int64 prefix)
+    run starts    = key != previous key        (shift + SMEM carry)
+    base_c/base_p = prefix-max of run-start prefix values (monotone for
+                    non-negative payloads — same precondition as the XLA
+                    cummax path)
+    mult, psum    = c - base_c, pc - base_p at probe elements
+
+Outputs per-element mult (i32) and psum as (hi, lo) i32 limbs, combined
+to int64 outside. Requires non-negative build payloads (engine payloads
+are row + 10^7; callers fall back to the XLA path otherwise).
+
+Citations: replaces the scan stage of the probe decomposition
+(chaining_ht.cpp:82-136's match+gather, re-expressed over sorted runs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ccve_tpu.kernels import flatvec as fv
+
+_R = 8
+TILE = _R * 128
+_ROUNDS = 10
+I32_MIN = fv.I32_MIN
+
+# SMEM carry slots
+_PREV_KHI, _PREV_KLO, _C, _PC_HI, _PC_LO, _BC, _BP_HI, _BP_LO = range(8)
+
+
+def _kernel(khi_ref, klo_ref, phi_ref, plo_ref, mult_ref, pshi_ref,
+            pslo_ref, carry):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[_C] = 0
+        carry[_PC_HI] = 0
+        carry[_PC_LO] = 0
+        carry[_BC] = I32_MIN
+        carry[_BP_HI] = I32_MIN
+        carry[_BP_LO] = 0
+        carry[_PREV_KHI] = 0
+        carry[_PREV_KLO] = 0
+
+    khi, klo = khi_ref[:], klo_ref[:]
+    phi, plo = phi_ref[:], plo_ref[:]
+
+    ib = plo & 1  # build tag (LSB of tagged payload)
+    bphi, bplo = fv.shr1_64(phi, plo)
+    is_build = ib > 0
+    bphi = jnp.where(is_build, bphi, 0)
+    bplo = jnp.where(is_build, bplo, 0)
+
+    # running build count / payload sum
+    c = fv.prefix_sum_i32(ib, _R, _ROUNDS) + carry[_C]
+    pchi_l, pclo_l = fv.prefix_sum_64(bphi, bplo, _R, _ROUNDS)
+    pchi, pclo = fv.add64(
+        pchi_l, pclo_l,
+        jnp.full((_R, 128), carry[_PC_HI], jnp.int32),
+        jnp.full((_R, 128), carry[_PC_LO], jnp.int32),
+    )
+
+    # run starts: key != previous key (carry the last key of the prev tile)
+    flat = fv.flat_index(_R)
+    pkhi = fv.shift_flat_right(khi, 1, _R, 0)
+    pklo = fv.shift_flat_right(klo, 1, _R, 0)
+    pkhi = jnp.where(flat == 0, carry[_PREV_KHI], pkhi)
+    pklo = jnp.where(flat == 0, carry[_PREV_KLO], pklo)
+    run_start = (khi != pkhi) | (klo != pklo)
+    run_start = run_start | ((flat == 0) & (i == 0))
+
+    # per-run bases via prefix max of run-start prefix values
+    cx = c - ib
+    base_c = jnp.maximum(
+        fv.prefix_max_i32(jnp.where(run_start, cx, I32_MIN), _R, _ROUNDS),
+        carry[_BC],
+    )
+    pcx_hi, pcx_lo = fv.sub64(pchi, pclo, bphi, bplo)
+    sp_hi = jnp.where(run_start, pcx_hi, I32_MIN)
+    sp_lo = jnp.where(run_start, pcx_lo, 0)
+    bm_hi, bm_lo = fv.prefix_max_64(sp_hi, sp_lo, _R, _ROUNDS)
+    base_p_hi, base_p_lo = fv.max64(
+        bm_hi, bm_lo,
+        jnp.full((_R, 128), carry[_BP_HI], jnp.int32),
+        jnp.full((_R, 128), carry[_BP_LO], jnp.int32),
+    )
+
+    probe = ~is_build
+    mult_ref[:] = jnp.where(probe, c - base_c, 0)
+    ps_hi, ps_lo = fv.sub64(pchi, pclo, base_p_hi, base_p_lo)
+    pshi_ref[:] = jnp.where(probe, ps_hi, 0)
+    pslo_ref[:] = jnp.where(probe, ps_lo, 0)
+
+    # carries from the tile's last element
+    carry[_PREV_KHI] = khi[_R - 1, 127]
+    carry[_PREV_KLO] = klo[_R - 1, 127]
+    carry[_C] = c[_R - 1, 127]
+    carry[_PC_HI] = pchi[_R - 1, 127]
+    carry[_PC_LO] = pclo[_R - 1, 127]
+    carry[_BC] = base_c[_R - 1, 127]
+    carry[_BP_HI] = base_p_hi[_R - 1, 127]
+    carry[_BP_LO] = base_p_lo[_R - 1, 127]
+
+
+def _call(n_tiles, rows, khi, klo, phi, plo):
+    spec = pl.BlockSpec((_R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
+    )(khi, klo, phi, plo)
+
+
+def merge_scan_stats(sk: jax.Array, st: jax.Array):
+    """Per-element (mult int32[n], psum int64[n]) from the sorted merged
+    stream: sk = sorted keys, st = tagged payloads (build: pay*2+1,
+    probe: 0), both int64. Build payloads must be non-negative."""
+    n = sk.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        sk = jnp.concatenate(
+            [sk, jnp.full(pad, jnp.iinfo(jnp.int64).max, jnp.int64)]
+        )
+        st = jnp.concatenate([st, jnp.zeros(pad, jnp.int64)])
+    rows = sk.shape[0] // 128
+
+    def split(x):
+        u = x.astype(jnp.uint64)
+        lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+        hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+        return hi.reshape(rows, 128), lo.reshape(rows, 128)
+
+    khi, klo = split(sk)
+    phi, plo = split(st)
+
+    with jax.enable_x64(False):
+        mult, ps_hi, ps_lo = _call(rows // _R, rows, khi, klo, phi, plo)
+
+    mult = mult.reshape(-1)[:n]
+    hi = ps_hi.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
+    lo = ps_lo.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
+    psum = ((hi << jnp.uint64(32)) | lo).astype(jnp.int64)
+    return mult, psum

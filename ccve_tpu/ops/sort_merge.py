@@ -28,7 +28,8 @@ switches base-recovery to an associative segmented scan.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,11 +38,37 @@ import numpy as np
 from ccve_tpu.exec.bulk import MatchStats
 
 
-class SortedTable(NamedTuple):
-    """A build table for the sort-merge path: rows sorted by key."""
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["keys", "payloads"],
+    meta_fields=["pack"],
+)
+@dataclasses.dataclass(frozen=True)
+class SortedTable:
+    """A build table for the sort-merge path: rows sorted by key.
+
+    `pack` (static aux): (key_base, key_bits, pay_bits) when the build's
+    key range and payload magnitude allow packing (key', tag, payload)
+    into ONE int64 sort operand — else None. Computed at build time on
+    the host; the probe side is range-checked on device."""
 
     keys: jax.Array  # int64[m], ascending
     payloads: jax.Array  # int64[m], aligned with keys
+    pack: tuple | None = None
+
+
+def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
+    if keys.size == 0 or payloads.min(initial=0) < 0:
+        return None
+    kmin, kmax = int(keys.min()), int(keys.max())
+    # probe keys clamp into [kmin-1, kmax+1]; field must hold range+2
+    key_range = kmax - kmin + 2
+    key_bits = max(int(key_range).bit_length(), 1)
+    pay_field_max = 2 * int(payloads.max(initial=0)) + 1
+    pay_bits = max(pay_field_max.bit_length(), 2)
+    if key_bits + pay_bits > 62:
+        return None
+    return (kmin, key_bits, pay_bits)
 
 
 def build_sorted(keys, payloads=None, device=None) -> SortedTable:
@@ -54,6 +81,7 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
     return SortedTable(
         keys=jax.device_put(jnp.asarray(keys[order]), device),
         payloads=jax.device_put(jnp.asarray(payloads[order]), device),
+        pack=_pack_meta(keys, payloads),
     )
 
 
@@ -129,22 +157,60 @@ def sorted_match_stats(
 
 
 def sorted_match_totals(
-    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
+    table: SortedTable,
+    probe_keys: jax.Array,
+    allow_negative: bool = False,
+    use_kernel: bool | None = None,
 ):
     """(total match count, total matched-payload sum) for a single-level
     join — order-invariant, so the unsort pass is skipped, and the
     build/probe tag travels in the payload's LSB (pay*2+1 for builds, 0
     for probes), making the sort a 2-operand one. Requires |payload| <
     2^62 (engine payloads are row+10^7); falls back to the 3-operand path
-    otherwise via `_merged_stats`."""
+    otherwise via `_merged_stats`.
+
+    `use_kernel` (default: auto — on for TPU backends with non-negative
+    payloads) fuses all post-sort scans into one Pallas pass
+    (kernels/merge_scan.py)."""
     m = table.keys.shape[0]
     n = probe_keys.shape[0]
 
-    keys = jnp.concatenate([table.keys, probe_keys])
-    tagged = jnp.concatenate(
-        [table.payloads * 2 + 1, jnp.zeros(n, jnp.int64)]
-    )
-    sk, st = jax.lax.sort([keys, tagged], num_keys=1, is_stable=True)
+    if table.pack is not None and not allow_negative:
+        # ONE-operand sort: (key', payload-or-tag) packed into an int64.
+        # Builds carry even fields (pay*2), probes the all-ones odd tag,
+        # so builds order before probes at equal keys without stability.
+        # Probe keys outside the build range clamp to key' 0 / key_span —
+        # runs with no builds, mult 0 — so packing is unconditionally
+        # exact.
+        kmin, key_bits, pay_bits = table.pack
+        key_lo = kmin - 1
+        key_span = 1 << key_bits
+        tag = (1 << pay_bits) - 1
+        bpacked = ((table.keys - key_lo) << pay_bits) | (table.payloads << 1)
+        pclamped = jnp.clip(probe_keys - key_lo, 0, key_span - 1)
+        ppacked = (pclamped << pay_bits) | tag
+        s = jax.lax.sort(
+            [jnp.concatenate([bpacked, ppacked])], num_keys=1
+        )[0]
+        sk = s >> pay_bits
+        field = s & tag
+        st = jnp.where(field == tag, 0, field + 1)  # kernel tag convention
+    else:
+        keys = jnp.concatenate([table.keys, probe_keys])
+        st0 = jnp.concatenate(
+            [table.payloads * 2 + 1, jnp.zeros(n, jnp.int64)]
+        )
+        sk, st = jax.lax.sort([keys, st0], num_keys=1, is_stable=True)
+
+    if use_kernel is None:
+        # auto: any accelerator backend (the axon plugin reports its own
+        # name, so test for not-cpu rather than 'tpu')
+        use_kernel = not allow_negative and jax.default_backend() != "cpu"
+    if use_kernel:
+        from ccve_tpu.kernels.merge_scan import merge_scan_stats
+
+        mult, psum = merge_scan_stats(sk, st)
+        return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
 
     from ccve_tpu.ops.scan_utils import cumsum_i64_limbs, cumsum_small_i32
 

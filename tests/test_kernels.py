@@ -51,3 +51,46 @@ def test_pallas_compact_all_and_none():
             jnp.asarray(cols), jnp.zeros(n, dtype=bool)
         )
         assert int(count0) == 0
+
+
+def test_merge_scan_stats_matches_xla_path():
+    import jax
+
+    from ccve_tpu.core.datagen import gen_rhs_table
+    from ccve_tpu.kernels.merge_scan import merge_scan_stats
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
+
+    keys, payloads = gen_rhs_table(300, 3)
+    table = build_sorted(keys, payloads)
+    rng = np.random.default_rng(11)
+    probe = jnp.asarray(rng.integers(0, keys.max() + 2, 2500).astype(np.int64))
+
+    ref = sorted_match_stats(table, probe)  # XLA path, aligned
+
+    m = table.keys.shape[0]
+    merged_keys = jnp.concatenate([table.keys, probe])
+    tagged = jnp.concatenate(
+        [table.payloads * 2 + 1, jnp.zeros(probe.shape[0], jnp.int64)]
+    )
+    sk, st = jax.lax.sort([merged_keys, tagged], num_keys=1, is_stable=True)
+    with pltpu.force_tpu_interpret_mode():
+        mult, psum = merge_scan_stats(sk, st)
+    assert int(mult.astype(jnp.int64).sum()) == int(
+        np.asarray(ref.mult).sum()
+    )
+    assert int(psum.sum()) == int(np.asarray(ref.psum).sum())
+
+
+def test_merge_scan_totals_via_kernel():
+    from ccve_tpu.core.datagen import gen_rhs_table
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
+
+    keys, payloads = gen_rhs_table(128, 2)
+    table = build_sorted(keys, payloads)
+    rng = np.random.default_rng(12)
+    probe = jnp.asarray(rng.integers(0, keys.max() + 2, 1800).astype(np.int64))
+    c_ref, p_ref = sorted_match_totals(table, probe, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        c_k, p_k = sorted_match_totals(table, probe, use_kernel=True)
+    assert int(c_k) == int(c_ref)
+    assert int(p_k) == int(p_ref)

@@ -71,3 +71,39 @@ def test_sorted_match_totals():
     count, psum = sorted_match_totals(st, probe)
     assert int(count) == int(np.asarray(stats.mult).sum())
     assert int(psum) == int(np.asarray(stats.psum).sum())
+
+
+def test_packed_totals_path():
+    """Range-adaptive single-operand packed sort must agree with the
+    general path, including out-of-range probe keys (clamped)."""
+    keys, payloads = gen_rhs_table(200, 2)
+    st = build_sorted(keys, payloads)
+    assert st.pack is not None
+    rng = np.random.default_rng(13)
+    probe = np.concatenate(
+        [
+            rng.integers(-50, keys.max() + 60, 1500),
+            np.array([keys.min() - 1, keys.max() + 1, 2**40]),
+        ]
+    ).astype(np.int64)
+    from ccve_tpu.ops.sort_merge import SortedTable, sorted_match_totals
+
+    pd = jnp.asarray(probe)
+    c_ref, p_ref = sorted_match_totals(
+        SortedTable(st.keys, st.payloads, pack=None), pd, use_kernel=False
+    )
+    c_pk, p_pk = sorted_match_totals(st, pd, use_kernel=False)
+    assert int(c_pk) == int(c_ref)
+    assert int(p_pk) == int(p_ref)
+
+
+def test_pack_meta_rejects_wide_ranges():
+    keys = np.array([0, 2**61], dtype=np.int64)
+    payloads = np.array([5, 6], dtype=np.int64)
+    st = build_sorted(keys, payloads)
+    assert st.pack is None  # falls back to the 2-operand path
+    probe = jnp.asarray(np.array([0, 2**61, 7], dtype=np.int64))
+    from ccve_tpu.ops.sort_merge import sorted_match_totals
+
+    c, p = sorted_match_totals(st, probe, use_kernel=False)
+    assert int(c) == 2 and int(p) == 11
