@@ -468,23 +468,46 @@ class JoinPipeline:
         else:
             thresholds = self.static_thresholds()
 
-        # Pad the probe table to whole segments of whole chunks.
+        # Chunk counts; the feeder zero-pads the trailing partial chunk.
         pad_rows = n_chunks * block - n
-        padded = np.concatenate(
-            [probe_rows, np.zeros((pad_rows, cfg.n_joins), np.int64)]
-        )
         counts = np.full(n_chunks, block, np.int32)
         if pad_rows:
             counts[-1] = block - pad_rows
+
+        from ccve_tpu import native
+
+        lib = native.load()
+
+        def make_batch(s0, s1):
+            """[C, n_cols, block] column batch for chunks [s0, s1) — the
+            native C++ feeder (ccve_make_chunk_batch) when available,
+            NumPy otherwise (DataCollection::FetchChunk's hot loop)."""
+            if lib is not None:
+                import ctypes
+
+                out = np.empty((s1 - s0) * cfg.n_joins * block, np.int64)
+                p64 = ctypes.POINTER(ctypes.c_int64)
+                lib.ccve_make_chunk_batch(
+                    probe_rows.ctypes.data_as(p64),
+                    n,
+                    cfg.n_joins,
+                    block,
+                    s0,
+                    s1 - s0,
+                    out.ctypes.data_as(p64),
+                )
+                return out.reshape(s1 - s0, cfg.n_joins, block)
+            padded = np.zeros(((s1 - s0) * block, cfg.n_joins), np.int64)
+            take = min(s1 * block, n) - s0 * block
+            padded[:take] = probe_rows[s0 * block : s0 * block + take]
+            batch = padded.reshape(s1 - s0, block, cfg.n_joins)
+            return np.ascontiguousarray(np.swapaxes(batch, 1, 2))
 
         pstate = self.fresh_state()
         t0 = time.perf_counter()
         for s0 in range(0, n_chunks, seg):
             s1 = min(s0 + seg, n_chunks)
-            batch = padded[s0 * block : s1 * block].reshape(
-                s1 - s0, block, cfg.n_joins
-            )
-            batch_cols = np.ascontiguousarray(np.swapaxes(batch, 1, 2))
+            batch_cols = make_batch(s0, s1)
             seg_t0 = time.perf_counter()
             pstate = self._process(
                 pstate,

@@ -67,6 +67,8 @@ def load():
         lib.ccve_build_lp.restype = i64
         lib.ccve_build_chaining_csr.argtypes = [p64, p64, i64, i64, p64, p64, p64]
         lib.ccve_build_chaining_csr.restype = i64
+        lib.ccve_make_chunk_batch.argtypes = [p64, i64, i64, i64, i64, i64, p64]
+        lib.ccve_make_chunk_batch.restype = None
         _lib = lib
         return _lib
 

@@ -15,6 +15,7 @@
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -146,6 +147,30 @@ int64_t ccve_build_chaining_csr(const int64_t* keys, const int64_t* payloads,
     entry_payloads[pos] = payloads[i];
   }
   return max_len;
+}
+
+// Chunk-batch feeder (the host IO hot loop of the pipelined executor,
+// replacing DataCollection::FetchChunk + per-chunk transposition,
+// data_collection.cpp:23-27): packs probe rows [seg_start*block,
+// (seg_start+seg_chunks)*block) of a row-major int64[n, n_cols] table
+// into a [seg_chunks, n_cols, block] column-major batch, zero-padding
+// rows past n. Cache-blocked transpose.
+void ccve_make_chunk_batch(const int64_t* rows, int64_t n, int64_t n_cols,
+                           int64_t block, int64_t seg_start,
+                           int64_t seg_chunks, int64_t* out) {
+  for (int64_t c = 0; c < seg_chunks; ++c) {
+    const int64_t row0 = (seg_start + c) * block;
+    int64_t* chunk = out + c * n_cols * block;
+    const int64_t live = std::max<int64_t>(
+        0, std::min<int64_t>(block, n - row0));
+    for (int64_t col = 0; col < n_cols; ++col) {
+      int64_t* dst = chunk + col * block;
+      const int64_t* src = rows + row0 * n_cols + col;
+      int64_t r = 0;
+      for (; r < live; ++r) dst[r] = src[r * n_cols];
+      for (; r < block; ++r) dst[r] = 0;
+    }
+  }
 }
 
 }  // extern "C"
