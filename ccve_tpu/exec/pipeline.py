@@ -432,6 +432,22 @@ class JoinPipeline:
     # Host driver
     # ------------------------------------------------------------------
 
+    def export_occupancy(self, occupancy: np.ndarray) -> None:
+        """Feed the device-recorded per-level occupancy histograms into
+        the ZebraProfiler (the reference's chunk-size histograms,
+        profiler.h:178-237; CSV via ZebraProfiler.to_csv)."""
+        from ccve_tpu.utils.profiler import ZebraProfiler
+
+        zebra = ZebraProfiler.get()
+        if not zebra.enabled:
+            return
+        for level in range(self.n_levels):
+            name = f"level{level}_{self.config.strategy.value}"
+            hist = occupancy[level]
+            for occ in np.nonzero(hist)[0]:
+                # counts only (device time is not attributable per chunk)
+                zebra._hists[name][int(occ)][1] += int(hist[occ])
+
     def static_thresholds(self) -> np.ndarray:
         if self.config.strategy is CompactionStrategy.DYNAMIC:
             raise ValueError("DYNAMIC thresholds come from the tuner")
@@ -538,6 +554,7 @@ class JoinPipeline:
             "chunks": n_chunks,
             "occupancy": np.asarray(pstate.occupancy),
         }
+        self.export_occupancy(out["occupancy"])
         if cfg.collect_tuples:
             stored = int(pstate.result_stored)
             out["rows"] = np.asarray(pstate.result_rows[:, :stored]).T

@@ -44,6 +44,47 @@ _PREV_KHI, _PREV_KLO, _C, _PC_HI, _PC_LO, _BC, _BP_HI, _BP_LO = range(8)
 
 def _kernel(khi_ref, klo_ref, phi_ref, plo_ref, mult_ref, pshi_ref,
             pslo_ref, carry):
+    """Tagged-stream form: separate key and tagged-payload limb inputs."""
+    khi, klo = khi_ref[:], klo_ref[:]
+    phi, plo = phi_ref[:], plo_ref[:]
+
+    ib = plo & 1  # build tag (LSB of tagged payload)
+    bphi, bplo = fv.shr1_64(phi, plo)
+    is_build = ib > 0
+    bphi = jnp.where(is_build, bphi, 0)
+    bplo = jnp.where(is_build, bplo, 0)
+    _scan_core(khi, klo, ib, is_build, bphi, bplo,
+               mult_ref, pshi_ref, pslo_ref, carry)
+
+
+def _make_packed_kernel(pay_bits: int):
+    """Packed-stream form: ONE int64 operand (key' << pay_bits | field)
+    as (hi, lo) limbs; builds have even fields (pay*2), probes the
+    all-ones odd tag (ops/sort_merge packed totals convention). Decoding
+    happens on-VPU, halving kernel input bandwidth vs the tagged form."""
+    assert 2 <= pay_bits <= 31, pay_bits
+
+    def kernel(shi_ref, slo_ref, mult_ref, pshi_ref, pslo_ref, carry):
+        shi, slo = shi_ref[:], slo_ref[:]
+        # key' = packed >> pay_bits (pay_bits < 32: spans the lo limb)
+        klo = jax.lax.shift_right_logical(slo, pay_bits) | jax.lax.shift_left(
+            shi, 32 - pay_bits
+        )
+        khi = jax.lax.shift_right_arithmetic(shi, pay_bits)
+        field = slo & ((1 << pay_bits) - 1)
+        is_build = (field & 1) == 0
+        ib = is_build.astype(jnp.int32)
+        bpay = jnp.where(
+            is_build, jax.lax.shift_right_logical(field, 1), 0
+        )  # < 2^30: hi limb is 0
+        _scan_core(khi, klo, ib, is_build, jnp.zeros_like(bpay), bpay,
+                   mult_ref, pshi_ref, pslo_ref, carry)
+
+    return kernel
+
+
+def _scan_core(khi, klo, ib, is_build, bphi, bplo,
+               mult_ref, pshi_ref, pslo_ref, carry):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -56,15 +97,6 @@ def _kernel(khi_ref, klo_ref, phi_ref, plo_ref, mult_ref, pshi_ref,
         carry[_BP_LO] = 0
         carry[_PREV_KHI] = 0
         carry[_PREV_KLO] = 0
-
-    khi, klo = khi_ref[:], klo_ref[:]
-    phi, plo = phi_ref[:], plo_ref[:]
-
-    ib = plo & 1  # build tag (LSB of tagged payload)
-    bphi, bplo = fv.shr1_64(phi, plo)
-    is_build = ib > 0
-    bphi = jnp.where(is_build, bphi, 0)
-    bplo = jnp.where(is_build, bplo, 0)
 
     # running build count / payload sum
     c = fv.prefix_sum_i32(ib, _R, _ROUNDS) + carry[_C]
@@ -153,6 +185,44 @@ def merge_scan_stats(sk: jax.Array, st: jax.Array):
 
     with jax.enable_x64(False):
         mult, ps_hi, ps_lo = _call(rows // _R, rows, khi, klo, phi, plo)
+
+    mult = mult.reshape(-1)[:n]
+    hi = ps_hi.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
+    lo = ps_lo.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
+    psum = ((hi << jnp.uint64(32)) | lo).astype(jnp.int64)
+    return mult, psum
+
+
+def merge_scan_stats_packed(s: jax.Array, pay_bits: int):
+    """Packed-stream variant: `s` is the SORTED packed int64 array
+    (key' << pay_bits | field; builds even fields = pay*2, probes the
+    all-ones tag — ops/sort_merge's packed-totals convention). Decodes on
+    the VPU, so only the packed limbs cross HBM. pay_bits must be < 32."""
+    n = s.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        # INT64_MAX: field = all-ones tag (probe), huge key' — a
+        # buildless run contributing nothing
+        s = jnp.concatenate(
+            [s, jnp.full(pad, jnp.iinfo(jnp.int64).max, jnp.int64)]
+        )
+    rows = s.shape[0] // 128
+    u = s.astype(jnp.uint64)
+    slo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    shi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    shi = shi.reshape(rows, 128)
+    slo = slo.reshape(rows, 128)
+
+    spec = pl.BlockSpec((_R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        mult, ps_hi, ps_lo = pl.pallas_call(
+            _make_packed_kernel(pay_bits),
+            grid=(rows // _R,),
+            in_specs=[spec] * 2,
+            out_specs=[spec] * 3,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * 3,
+            scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
+        )(shi, slo)
 
     mult = mult.reshape(-1)[:n]
     hi = ps_hi.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)

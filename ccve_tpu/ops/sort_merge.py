@@ -192,6 +192,14 @@ def sorted_match_totals(
         s = jax.lax.sort(
             [jnp.concatenate([bpacked, ppacked])], num_keys=1
         )[0]
+        if use_kernel is None:
+            use_kernel = jax.default_backend() != "cpu"
+        if use_kernel and pay_bits <= 31:
+            # decode inside the kernel: only the packed limbs cross HBM
+            from ccve_tpu.kernels.merge_scan import merge_scan_stats_packed
+
+            mult, psum = merge_scan_stats_packed(s, pay_bits)
+            return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
         sk = s >> pay_bits
         field = s & tag
         st = jnp.where(field == tag, 0, field + 1)  # kernel tag convention

@@ -94,3 +94,21 @@ def test_merge_scan_totals_via_kernel():
         c_k, p_k = sorted_match_totals(table, probe, use_kernel=True)
     assert int(c_k) == int(c_ref)
     assert int(p_k) == int(p_ref)
+
+
+def test_merge_scan_packed_kernel():
+    from ccve_tpu.core.datagen import gen_rhs_table
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
+
+    keys, payloads = gen_rhs_table(160, 3)
+    table = build_sorted(keys, payloads)
+    assert table.pack is not None and table.pack[2] <= 31
+    rng = np.random.default_rng(14)
+    probe = jnp.asarray(
+        rng.integers(-10, keys.max() + 20, 2100).astype(np.int64)
+    )
+    c_ref, p_ref = sorted_match_totals(table, probe, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        c_k, p_k = sorted_match_totals(table, probe, use_kernel=True)
+    assert int(c_k) == int(c_ref)
+    assert int(p_k) == int(p_ref)

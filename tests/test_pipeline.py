@@ -181,3 +181,22 @@ def test_pipeline_with_prefilter():
     # occupancy histogram must show under-filled level-0 emissions
     occ = out["occupancy"]
     assert occ.sum() > 0
+
+
+def test_occupancy_exported_to_zebra(tmp_path):
+    from ccve_tpu.utils.profiler import ZebraProfiler
+
+    ZebraProfiler.get().clear()
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=300, rhs=64, chunk_factor=1, table_kind="lp",
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.REFERENCE,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=4096)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    zebra = ZebraProfiler.get()
+    hist = zebra.histogram("level0_full_compaction")
+    assert sum(calls for _, calls in hist.values()) > 0
+    zebra.to_csv(str(tmp_path))
+    assert any(p.suffix == ".csv" for p in tmp_path.iterdir())
+    zebra.clear()
