@@ -154,19 +154,21 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
 def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
     """Zipf join + hash aggregate + radix sort, with skew stats."""
     from ccve_tpu.core.datagen import gen_rhs_table, gen_zipf_keys
-    from ccve_tpu.ops.aggregate import hash_aggregate, partition_histogram
-    from ccve_tpu.ops.hash_table import build_lp
-    from ccve_tpu.exec.bulk import lp_match_stats
+    from ccve_tpu.ops.aggregate import dense_aggregate, partition_histogram
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
     from ccve_tpu.ops.sort import radix_sort_pairs
 
     keys, payloads = gen_rhs_table(domain, 1)
-    table = build_lp(keys, payloads)
+    table = build_sorted(keys, payloads)
     probe = jnp.asarray(gen_zipf_keys(n_probe, domain, alpha))
 
+    @jax.jit
     def run(p):
-        stats = lp_match_stats(table, p)
-        agg = hash_aggregate(p, stats.psum)
-        sk, sv = radix_sort_pairs(agg.keys, agg.sum, bits=48)
+        stats = sorted_match_stats(table, p)
+        # domain is known here: perfect-hash (dense) aggregate, then
+        # radix-sort the domain-sized group table by aggregate value
+        agg = dense_aggregate(p, stats.psum, domain)
+        sk, sv = radix_sort_pairs(agg.sum, agg.keys, bits=48)
         return stats.mult.astype(jnp.int64).sum(), agg.n_groups, sk[-1], sv[-1]
 
     best, out = _timed(run, probe)
@@ -204,7 +206,7 @@ def config5_distributed(n_build=100_000, n_probe=1_000_000, n_devices=None):
     t1, ref = _timed(lambda p: bulk_count([table], p), probe_dev)
 
     mesh = make_join_mesh(n_devices)
-    ptables = [partition_tables(keys, payloads, n_devices, "lp", mesh)]
+    ptables = [partition_tables(keys, payloads, n_devices, "sorted", mesh)]
     tp, res = _timed(lambda p: dist_bulk_count(mesh, ptables, p), probe)
     assert int(res.count) == int(ref.count)
     eff = (n_probe / tp) / (n_devices * (n_probe / t1))

@@ -88,6 +88,13 @@ class PartitionedTables(NamedTuple):
         if self.kind == "lp":
             slot_keys, slot_payloads = arrs
             return LPTable(slot_keys, slot_payloads, self.max_bound)
+        if self.kind == "sorted":
+            from ccve_tpu.ops.sort_merge import SortedTable
+
+            keys, payloads = arrs
+            # pack=None: partitions share one SPMD program, and the
+            # INT64_MAX padding rows sit outside any packable key range
+            return SortedTable(keys, payloads, pack=None)
         offsets, ekeys, epays = arrs
         return CSRTable(offsets, ekeys, epays, self.max_bound)
 
@@ -146,6 +153,20 @@ def _pack_partitions(keys, payloads, parts, n_parts, kind, mesh):
             ep[p, :cnt] = np.asarray(t.entry_payloads)
             bound = max(bound, t.max_len)
         arrays = (jnp.asarray(offs), jnp.asarray(ek), jnp.asarray(ep))
+    elif kind == "sorted":
+        # per-partition sort-merge tables (the fast local engine): rows
+        # sorted by key, padded to the max partition with INT64_MAX keys
+        # (ascending-preserving, matching no engine key) / payload 0
+        sk = np.full((n_parts, max_count), np.iinfo(np.int64).max, np.int64)
+        sp = np.zeros((n_parts, max_count), np.int64)
+        bound = 1
+        for p, idx in enumerate(parts):
+            if idx.shape[0] == 0:
+                continue
+            order = np.argsort(keys[idx], kind="stable")
+            sk[p, : idx.shape[0]] = keys[idx][order]
+            sp[p, : idx.shape[0]] = payloads[idx][order]
+        arrays = (jnp.asarray(sk), jnp.asarray(sp))
     else:
         raise ValueError(f"unknown table kind {kind!r}")
 

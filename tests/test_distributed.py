@@ -13,7 +13,7 @@ from ccve_tpu.parallel.distributed import (
 )
 
 
-@pytest.mark.parametrize("kind", ["lp", "csr"])
+@pytest.mark.parametrize("kind", ["lp", "csr", "sorted"])
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_dist_count_matches_oracle(kind, n_devices):
     mesh = make_join_mesh(n_devices)
