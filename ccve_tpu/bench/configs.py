@@ -101,6 +101,7 @@ def config2_filtered_join(
         pipe = JoinPipeline(
             [table], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
         )
+        pipe.run(probe)  # warm-up run: compiles land outside the timing
         r = pipe.run(probe)
         assert r["count"] == expected, (strategy, r["count"], expected)
         out[strategy.value] = {
@@ -142,6 +143,7 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
             payload_mode=PayloadMode.REFERENCE,
         )
         pipe = JoinPipeline(tables, cfg)
+        pipe.run(probe)  # warm-up run: compiles land outside the timing
         r = pipe.run(probe)
         assert r["count"] == expected, (strategy, r["count"], expected)
         out[strategy.value] = {
