@@ -109,16 +109,26 @@ class JoinPipeline:
         result_capacity: int | None = None,
         prefilter=None,
         prefilter_col: int = 0,
+        lanes: int = 1,
     ):
         """`prefilter`: optional traced predicate over one input column
         (ops/filter predicates) applied before level 0 — the canonical
         producer of under-filled chunks (BASELINE config 2); the filtered
         chunk flows into the join with a composed selection vector, NOT
-        re-densified, so compaction strategies see real sparsity."""
+        re-densified, so compaction strategies see real sparsity.
+
+        `lanes`: run K independent pipelines in lockstep via vmap — the
+        TPU-native answer to the reference's single-stream executor being
+        latency-bound at one [block]-wide op per work-loop step. Each lane
+        owns its compactor caches (compaction still applies per lane; the
+        output multiset is unchanged). The per-step cost is amortized
+        K-fold on the VPU; under vmap a level-switch executes all level
+        branches with a select, so the win is ~K / n_joins."""
         self.tables = list(tables)
         self.config = config
         self.prefilter = prefilter
         self.prefilter_col = prefilter_col
+        self.lanes = lanes
         self.n_levels = len(tables)
         self.block = config.block_size
         self.width = config.n_joins + 2 * self.n_levels
@@ -128,8 +138,19 @@ class JoinPipeline:
             )
         else:
             self.capacity = 0
-        self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
-        self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
+        if self.lanes == 1:
+            self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
+            self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
+        else:
+            # lane axis on pstate and the chunk stream; thresholds shared
+            self._process = jax.jit(
+                jax.vmap(self._process_chunks, in_axes=(0, 0, 0, None)),
+                donate_argnums=(0,),
+            )
+            self._flush = jax.jit(
+                jax.vmap(self._flush_all, in_axes=(0, None)),
+                donate_argnums=(0,),
+            )
 
     # ------------------------------------------------------------------
     # Work-loop building blocks
@@ -432,6 +453,36 @@ class JoinPipeline:
     # Host driver
     # ------------------------------------------------------------------
 
+    def _merge_lanes(self, pstate: PipelineState) -> PipelineState:
+        """Combine K lane states into one result view: counts/occupancy
+        sum; stored rows concatenate (lane caches are empty post-flush)."""
+        rows = np.asarray(pstate.result_rows)  # [K, W, cap]
+        stored = np.asarray(pstate.result_stored)  # [K]
+        if self.capacity:
+            merged_rows = np.concatenate(
+                [rows[k, :, : int(stored[k])] for k in range(self.lanes)],
+                axis=1,
+            )
+            pad = np.zeros(
+                (self.width, max(self.capacity - merged_rows.shape[1], 0)),
+                np.int64,
+            )
+            merged_rows = np.concatenate([merged_rows, pad], axis=1)[
+                :, : max(self.capacity, merged_rows.shape[1])
+            ]
+        else:
+            merged_rows = np.zeros((self.width, 0), np.int64)
+        return PipelineState(
+            cache_cols=jnp.asarray(np.asarray(pstate.cache_cols)[0]),
+            cache_count=jnp.asarray(np.asarray(pstate.cache_count).sum(0)),
+            result_count=jnp.asarray(
+                np.asarray(pstate.result_count).sum(), jnp.int64
+            ),
+            result_rows=jnp.asarray(merged_rows),
+            result_stored=jnp.asarray(int(stored.sum()), jnp.int64),
+            occupancy=jnp.asarray(np.asarray(pstate.occupancy).sum(0)),
+        )
+
     def export_occupancy(self, occupancy: np.ndarray) -> None:
         """Feed the device-recorded per-level occupancy histograms into
         the ZebraProfiler (the reference's chunk-size histograms,
@@ -519,21 +570,45 @@ class JoinPipeline:
             batch = padded.reshape(s1 - s0, block, cfg.n_joins)
             return np.ascontiguousarray(np.swapaxes(batch, 1, 2))
 
+        K = self.lanes
+        per = -(-n_chunks // K)  # chunks per lane (tail lanes zero-padded)
+        counts_padded = np.zeros(per * K, np.int32)
+        counts_padded[:n_chunks] = counts
+
         pstate = self.fresh_state()
+        if K > 1:
+            # materialized copies (not lazy broadcasts): the lane states are
+            # donated to the first dispatch
+            pstate = jax.tree.map(
+                lambda x: jnp.stack([x] * K), pstate
+            )
         t0 = time.perf_counter()
-        for s0 in range(0, n_chunks, seg):
-            s1 = min(s0 + seg, n_chunks)
-            batch_cols = make_batch(s0, s1)
+        for s0 in range(0, per, seg):
+            s1 = min(s0 + seg, per)
+            if K == 1:
+                batch_cols = jnp.asarray(make_batch(s0, s1))
+                ccounts = jnp.asarray(counts_padded[s0:s1])
+            else:
+                batch_cols = jnp.asarray(
+                    np.stack(
+                        [make_batch(k * per + s0, k * per + s1) for k in range(K)]
+                    )
+                )
+                ccounts = jnp.asarray(
+                    np.stack(
+                        [
+                            counts_padded[k * per + s0 : k * per + s1]
+                            for k in range(K)
+                        ]
+                    )
+                )
             seg_t0 = time.perf_counter()
             pstate = self._process(
-                pstate,
-                jnp.asarray(batch_cols),
-                jnp.asarray(counts[s0:s1]),
-                jnp.asarray(thresholds),
+                pstate, batch_cols, ccounts, jnp.asarray(thresholds)
             )
             if dynamic:
                 jax.block_until_ready(pstate)
-                seg_time = (time.perf_counter() - seg_t0) / (s1 - s0)
+                seg_time = (time.perf_counter() - seg_t0) / ((s1 - s0) * K)
                 # reference reward shape: 2 / per-chunk-time / 1e3
                 # (main.cpp:164-166)
                 reward = 2.0 / max(seg_time, 1e-12) / 1e3
@@ -547,6 +622,8 @@ class JoinPipeline:
             pstate = self._flush(pstate, jnp.asarray(thresholds))
         jax.block_until_ready(pstate)
         seconds = time.perf_counter() - t0
+        if K > 1:
+            pstate = self._merge_lanes(pstate)
 
         out = {
             "count": int(pstate.result_count),

@@ -200,3 +200,22 @@ def test_occupancy_exported_to_zebra(tmp_path):
     zebra.to_csv(str(tmp_path))
     assert any(p.suffix == ".csv" for p in tmp_path.iterdir())
     zebra.clear()
+
+
+@pytest.mark.parametrize("strategy", [CompactionStrategy.NONE, CompactionStrategy.FULL])
+def test_pipeline_multilane_matches_oracle(strategy):
+    """vmap'd K-lane executor must produce the same multiset as 1-lane."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2,
+        lhs=900,
+        rhs=96,
+        chunk_factor=2,
+        table_kind="csr",
+        strategy=strategy,
+        payload_mode=PayloadMode.FULL,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=8192, lanes=4)
+    out = pipe.run(probe, segment_chunks=2)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
