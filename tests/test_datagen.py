@@ -63,3 +63,25 @@ def test_rhs_table_structure():
     assert len(np.unique(keys)) == 25
     np.testing.assert_array_equal(np.unique(keys), np.arange(25) * 4)
     np.testing.assert_array_equal(payloads, np.arange(100) + 10_000_000)
+
+
+@needs_native
+def test_native_chunk_feeder_matches_numpy():
+    """ccve_make_chunk_batch == pad + reshape + transpose (the pipelined
+    executor's host IO hot loop)."""
+    import ctypes
+
+    rows = np.arange(61 * 3, dtype=np.int64).reshape(61, 3)
+    block, seg_start, seg_chunks = 8, 2, 7  # covers rows 16..72 (padded)
+    out = np.empty(seg_chunks * 3 * block, dtype=np.int64)
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    native.load().ccve_make_chunk_batch(
+        rows.ctypes.data_as(p64), 61, 3, block, seg_start, seg_chunks,
+        out.ctypes.data_as(p64),
+    )
+    got = out.reshape(seg_chunks, 3, block)
+    exp = np.zeros((seg_chunks, 3, block), np.int64)
+    for c in range(seg_chunks):
+        seg = rows[(seg_start + c) * block : (seg_start + c + 1) * block]
+        exp[c, :, : seg.shape[0]] = seg.T
+    np.testing.assert_array_equal(got, exp)
