@@ -52,6 +52,41 @@ def shift_flat_right(x, s: int, R: int, fill):
     return jnp.where(flat_index(R) >= s, y, fill)
 
 
+def shift_flat_right_dyn(x, s, R: int):
+    """out[i] = x[i - s], zero below i = s; `s` is a TRACED scalar in
+    [0, R*128) (pltpu.roll supports dynamic shift amounts)."""
+    q = jax.lax.shift_right_logical(s, 7)  # s // 128
+    rem = s & 127
+    y = pltpu.roll(x, q, axis=0)
+    a = pltpu.roll(y, rem, axis=1)
+    b = pltpu.roll(a, 1, axis=0)
+    y = jnp.where(iota2(R, 1) >= rem, a, b)
+    return jnp.where(flat_index(R) >= s, y, 0)
+
+
+def butterfly_compact(vals, m, R: int, n_rounds: int, rank=None):
+    """Pack masked elements of flat [R, 128] arrays to the front
+    (order-preserving). `m` is an int32 0/1 mask; `rank` (optional) is
+    its precomputed INCLUSIVE prefix sum — callers that already have it
+    (e.g. from a fused scan) skip a ladder. Elements move left by their
+    hole deficit one power-of-two bit per round (LSB first) —
+    collision-free because the deficit is monotone."""
+    if rank is None:
+        rank = prefix_sum_i32(m, R, n_rounds)
+    d = jnp.where(m > 0, flat_index(R) - (rank - m), 0)
+    valid = m > 0
+    for b in range(n_rounds):
+        s = 1 << b
+        sd = shift_flat_left(d, s, R)
+        sv = shift_flat_left(valid.astype(jnp.int32), s, R) > 0
+        incoming = sv & (((sd >> b) & 1) > 0)
+        resident = valid & (((d >> b) & 1) == 0)
+        vals = [jnp.where(incoming, shift_flat_left(v, s, R), v) for v in vals]
+        d = jnp.where(incoming, sd, d)
+        valid = incoming | resident
+    return vals
+
+
 def prefix_sum_i32(x, R: int, n_rounds: int):
     """Inclusive flat prefix sum (Hillis-Steele)."""
     acc = x

@@ -193,6 +193,151 @@ def merge_scan_stats(sk: jax.Array, st: jax.Array):
     return mult, psum
 
 
+# ---------------------------------------------------------------------------
+# Count-side u32 form: the sort operand carries NO payload at all, and the
+# kernel emits DENSE per-build-row counts (stream compaction with an
+# amortized ring-buffer flush — no gather, no unsort, tiny output)
+# ---------------------------------------------------------------------------
+
+_CS_PREV, _CS_CP, _CS_BASE, _CS_W, _CS_ROW = range(5)
+_CS_R = 64  # tile height: 4x taller than the stats kernels — the dense
+#             kernel is grid-step-bound, not VMEM-bound
+
+
+def _make_counts32_dense_kernel(R: int):
+    """Count-side scan + in-kernel compaction over the u32 packed stream
+    (key' << 1 | tag; tag 1 = build, 0 = probe, so probes order before
+    builds at equal key'). For the j-th build entry of the stream —
+    table row j, since the table is pre-sorted and equal packed values
+    are interchangeable — emits bc[j] = #probes in its run (its probe
+    multiplicity), densely packed to bc_hbm.
+
+    Compaction without overlap hazards: each tile butterfly-compacts its
+    build counts in-register, appends them to a VMEM ring via a dynamic
+    flat shift, and flushes exactly R full rows whenever >= R*128 values
+    accumulate — ~m/(R*128) perfectly disjoint DMAs total (amortized,
+    not per-tile; per-tile DMA round-trips are what sank the standalone
+    compaction kernel, see kernels/compact.py + PERF_NOTES.md).
+
+    One ladder is saved by construction: the inclusive build rank is
+    flat + 1 - cp (probe count + build count = position + 1)."""
+    tile = R * 128
+    rounds = tile.bit_length() - 1  # log2(R * 128)
+    ring_r = 2 * R
+
+    def kernel(s_ref, bc_hbm, carry, ring, stage, sem):
+        i = pl.program_id(0)
+        last = pl.num_programs(0) - 1
+
+        @pl.when(i == 0)
+        def _():
+            carry[_CS_PREV] = -1  # packed keys >= 0: forces a run start
+            carry[_CS_CP] = 0
+            carry[_CS_BASE] = I32_MIN
+            carry[_CS_W] = 0
+            carry[_CS_ROW] = 0
+
+        s = s_ref[:]
+        ib = s & 1
+        ip = 1 - ib
+        cp_local = fv.prefix_sum_i32(ip, R, rounds)
+        cp = cp_local + carry[_CS_CP]
+
+        key = jax.lax.shift_right_arithmetic(s, 1)
+        flat = fv.flat_index(R)
+        prev = fv.shift_flat_right(key, 1, R, 0)
+        prev = jnp.where(flat == 0, carry[_CS_PREV], prev)
+        run_start = key != prev
+
+        cpx = cp - ip
+        base = jnp.maximum(
+            fv.prefix_max_i32(jnp.where(run_start, cpx, I32_MIN), R, rounds),
+            carry[_CS_BASE],
+        )
+        pcount = jnp.where(ib > 0, cp - base, 0)
+
+        carry[_CS_PREV] = key[R - 1, 127]
+        carry[_CS_CP] = cp[R - 1, 127]
+        carry[_CS_BASE] = base[R - 1, 127]
+
+        # ---- compact this tile's build counts, append to the ring ----
+        rank_b = flat + 1 - cp_local  # inclusive build rank, for free
+        k_t = tile - cp_local[R - 1, 127]
+        (cpc,) = fv.butterfly_compact([pcount], ib, R, rounds, rank=rank_b)
+
+        w = carry[_CS_W]
+        cpc2 = jnp.concatenate(
+            [cpc, jnp.zeros((ring_r - R, 128), jnp.int32)], axis=0
+        )
+        shifted = fv.shift_flat_right_dyn(cpc2, w, ring_r)
+        ring[...] = jnp.where(fv.flat_index(ring_r) < w, ring[...], shifted)
+        w = w + k_t
+
+        def flush():
+            stage[...] = ring[0:R]
+            copy = pltpu.make_async_copy(
+                stage, bc_hbm.at[pl.ds(carry[_CS_ROW], R), :], sem
+            )
+            copy.start()
+            copy.wait()
+            carry[_CS_ROW] = carry[_CS_ROW] + R
+
+        @pl.when(w >= tile)
+        def _():
+            flush()
+            ring[...] = pltpu.roll(ring[...], R, axis=0)  # left by R rows
+            carry[_CS_W] = w - tile
+
+        @pl.when(w < tile)
+        def _():
+            carry[_CS_W] = w
+
+        # final partial flush: residue < tile (junk lanes past w are
+        # sliced off by the wrapper)
+        @pl.when((i == last) & (carry[_CS_W] > 0))
+        def _():
+            flush()
+
+    return kernel
+
+
+def merge_scan_build_counts(s: jax.Array, m: int):
+    """Per-build-row probe multiplicities bc int32[m] from the SORTED
+    i32[n] packed stream (key' << 1 | tag, tag 1 = build; the table's m
+    build entries appear in table order). Padding entries (INT32_MAX =
+    huge key', build tag, probe-less run) append trailing zeros that the
+    [:m] slice drops.  Σ bc = total matches; dot(bc, payloads) = total
+    matched-payload sum."""
+    R = _CS_R
+    tile = R * 128
+    n = s.shape[0]
+    pad = (-n) % tile
+    if pad:
+        s = jnp.concatenate(
+            [s, jnp.full(pad, jnp.iinfo(jnp.int32).max, jnp.int32)]
+        )
+    rows = s.shape[0] // 128
+    s2 = s.reshape(rows, 128)
+    # appended values <= m + pad; round up to flush rows plus slack
+    out_rows = -(-(m + tile) // 128) + R
+    spec = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        bc = pl.pallas_call(
+            _make_counts32_dense_kernel(R),
+            grid=(rows // R,),
+            in_specs=[spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.SMEM((5,), jnp.int32),
+                pltpu.VMEM((2 * R, 128), jnp.int32),
+                pltpu.VMEM((R, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(s2)
+    return bc.reshape(-1)[:m]
+
+
 def merge_scan_stats_packed(s: jax.Array, pay_bits: int):
     """Packed-stream variant: `s` is the SORTED packed int64 array
     (key' << pay_bits | field; builds even fields = pay*2, probes the

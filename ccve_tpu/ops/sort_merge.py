@@ -41,7 +41,7 @@ from ccve_tpu.exec.bulk import MatchStats
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["keys", "payloads"],
-    meta_fields=["pack"],
+    meta_fields=["pack", "pack32"],
 )
 @dataclasses.dataclass(frozen=True)
 class SortedTable:
@@ -55,6 +55,7 @@ class SortedTable:
     keys: jax.Array  # int64[m], ascending
     payloads: jax.Array  # int64[m], aligned with keys
     pack: tuple | None = None
+    pack32: tuple | None = None
 
 
 def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
@@ -71,6 +72,19 @@ def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
     return (kmin, key_bits, pay_bits)
 
 
+def _pack32_meta(keys: np.ndarray):
+    """(kmin, key_bits) when (key' << 1 | tag) fits a non-negative i32 —
+    key spans up to 2^30. Independent of payload range/sign: the
+    count-side path (see `sorted_match_totals`) never sorts payloads."""
+    if keys.size == 0:
+        return None
+    kmin, kmax = int(keys.min()), int(keys.max())
+    key_bits = max(int(kmax - kmin + 2).bit_length(), 1)
+    if key_bits > 30:
+        return None
+    return (kmin, key_bits)
+
+
 def build_sorted(keys, payloads=None, device=None) -> SortedTable:
     keys = np.ascontiguousarray(keys, dtype=np.int64)
     if payloads is None:
@@ -82,6 +96,7 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
         keys=jax.device_put(jnp.asarray(keys[order]), device),
         payloads=jax.device_put(jnp.asarray(payloads[order]), device),
         pack=_pack_meta(keys, payloads),
+        pack32=_pack32_meta(keys),
     )
 
 
@@ -174,6 +189,40 @@ def sorted_match_totals(
     (kernels/merge_scan.py)."""
     m = table.keys.shape[0]
     n = probe_keys.shape[0]
+
+    # auto: any accelerator backend (the axon plugin reports its own
+    # name, so test for not-cpu rather than 'tpu'). `use_kernel` itself
+    # stays None for the downstream branches' own auto logic.
+    kernel_ok = (
+        jax.default_backend() != "cpu" if use_kernel is None else use_kernel
+    )
+
+    if kernel_ok and table.pack32 is not None:
+        # COUNT-SIDE u32 path: payloads never enter the sort. Sort ONE
+        # i32 operand (key' << 1 | tag), probes (tag 0) before builds
+        # (tag 1); per build entry the kernel counts the probes in its
+        # run and emits the counts DENSELY (in-kernel ring-buffer
+        # compaction). The j-th build entry of the merged stream is
+        # table row j (table pre-sorted, equal packed values
+        # interchangeable), so
+        #   count = Σ bc,  psum = dot(bc, table.payloads)
+        # — no unsort, no gather, no payload scans, and a ~1.5x faster
+        # sort than the packed-int64 operand (measured: i32 ~51 ms vs
+        # i64 ~75 ms at 17M on v5e). Exact for negative payloads too:
+        # the dot carries the sign.
+        kmin, key_bits = table.pack32
+        key_lo = kmin - 1
+        key_span = 1 << key_bits
+        b32 = (((table.keys - key_lo) << 1) | 1).astype(jnp.int32)
+        p32 = (jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1).astype(
+            jnp.int32
+        )
+        s = jax.lax.sort([jnp.concatenate([p32, b32])], num_keys=1)[0]
+
+        from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
+
+        bc = merge_scan_build_counts(s, m).astype(jnp.int64)
+        return jnp.sum(bc), jnp.sum(bc * table.payloads)
 
     if table.pack is not None and not allow_negative:
         # ONE-operand sort: (key', payload-or-tag) packed into an int64.

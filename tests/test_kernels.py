@@ -82,11 +82,17 @@ def test_merge_scan_stats_matches_xla_path():
 
 
 def test_merge_scan_totals_via_kernel():
+    import dataclasses
+
     from ccve_tpu.core.datagen import gen_rhs_table
     from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
 
     keys, payloads = gen_rhs_table(128, 2)
-    table = build_sorted(keys, payloads)
+    # pack32=None pins the TAGGED-stream kernel path (the count-side u32
+    # path would otherwise shadow it; it has its own tests below)
+    table = dataclasses.replace(
+        build_sorted(keys, payloads), pack=None, pack32=None
+    )
     rng = np.random.default_rng(12)
     probe = jnp.asarray(rng.integers(0, keys.max() + 2, 1800).astype(np.int64))
     c_ref, p_ref = sorted_match_totals(table, probe, use_kernel=False)
@@ -97,11 +103,13 @@ def test_merge_scan_totals_via_kernel():
 
 
 def test_merge_scan_packed_kernel():
+    import dataclasses
+
     from ccve_tpu.core.datagen import gen_rhs_table
     from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
 
     keys, payloads = gen_rhs_table(160, 3)
-    table = build_sorted(keys, payloads)
+    table = dataclasses.replace(build_sorted(keys, payloads), pack32=None)
     assert table.pack is not None and table.pack[2] <= 31
     rng = np.random.default_rng(14)
     probe = jnp.asarray(
@@ -110,5 +118,45 @@ def test_merge_scan_packed_kernel():
     c_ref, p_ref = sorted_match_totals(table, probe, use_kernel=False)
     with pltpu.force_tpu_interpret_mode():
         c_k, p_k = sorted_match_totals(table, probe, use_kernel=True)
+    assert int(c_k) == int(c_ref)
+    assert int(p_k) == int(p_ref)
+
+
+def test_merge_scan_counts32_kernel():
+    """Count-side u32 path vs the XLA scan path — duplicates, misses,
+    out-of-range probes, and exact multiple-of-TILE sizes."""
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
+
+    rng = np.random.default_rng(21)
+    for m, n, dom in [(500, 3000, 400), (3, 10, 5), (1024, 4096, 1024)]:
+        keys = rng.integers(0, dom, m).astype(np.int64)
+        pays = rng.integers(0, 10_000, m).astype(np.int64)
+        probe = jnp.asarray(rng.integers(-10, dom + 10, n).astype(np.int64))
+        table = build_sorted(keys, pays)
+        assert table.pack32 is not None
+        c_ref, p_ref = sorted_match_totals(table, probe, use_kernel=False)
+        with pltpu.force_tpu_interpret_mode():
+            c_k, p_k = sorted_match_totals(table, probe, use_kernel=True)
+        assert int(c_k) == int(c_ref), (m, n)
+        assert int(p_k) == int(p_ref), (m, n)
+
+
+def test_merge_scan_counts32_negative_payloads():
+    """The count-side path is exact for NEGATIVE payloads (they never
+    enter a sort or a monotone scan — the dot carries the sign)."""
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
+
+    rng = np.random.default_rng(22)
+    keys = rng.integers(0, 300, 700).astype(np.int64)
+    pays = rng.integers(-5000, 5000, 700).astype(np.int64)
+    probe = jnp.asarray(rng.integers(0, 320, 2500).astype(np.int64))
+    table = build_sorted(keys, pays)
+    c_ref, p_ref = sorted_match_totals(
+        table, probe, allow_negative=True, use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        c_k, p_k = sorted_match_totals(
+            table, probe, allow_negative=True, use_kernel=True
+        )
     assert int(c_k) == int(c_ref)
     assert int(p_k) == int(p_ref)
