@@ -52,8 +52,8 @@ def shift_flat_right(x, s: int, R: int, fill):
     return jnp.where(flat_index(R) >= s, y, fill)
 
 
-def shift_flat_right_dyn(x, s, R: int):
-    """out[i] = x[i - s], zero below i = s; `s` is a TRACED scalar in
+def shift_flat_right_dyn(x, s, R: int, fill=0):
+    """out[i] = x[i - s], `fill` below i = s; `s` is a TRACED scalar in
     [0, R*128) (pltpu.roll supports dynamic shift amounts)."""
     q = jax.lax.shift_right_logical(s, 7)  # s // 128
     rem = s & 127
@@ -61,7 +61,19 @@ def shift_flat_right_dyn(x, s, R: int):
     a = pltpu.roll(y, rem, axis=1)
     b = pltpu.roll(a, 1, axis=0)
     y = jnp.where(iota2(R, 1) >= rem, a, b)
-    return jnp.where(flat_index(R) >= s, y, 0)
+    return jnp.where(flat_index(R) >= s, y, fill)
+
+
+def shift_flat_left_dyn(x, s, R: int, fill=0):
+    """out[i] = x[i + s], `fill` at i >= R*128 - s; `s` TRACED in
+    [0, R*128)."""
+    q = jax.lax.shift_right_logical(s, 7)
+    rem = s & 127
+    y = pltpu.roll(x, jnp.where(q == 0, 0, R - q), axis=0)
+    a = pltpu.roll(y, jnp.where(rem == 0, 0, 128 - rem), axis=1)
+    b = pltpu.roll(a, R - 1, axis=0)
+    y = jnp.where(iota2(R, 1) < 128 - rem, a, b)
+    return jnp.where(flat_index(R) < R * 128 - s, y, fill)
 
 
 def butterfly_compact(vals, m, R: int, n_rounds: int, rank=None):
