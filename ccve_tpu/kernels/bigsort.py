@@ -273,6 +273,105 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
     return y.reshape(-1)
 
 
+def _merge_splits_two(y, nA: int, nB: int, n_tiles: int, tile_log: int,
+                      n_pad: int):
+    """Merge-path splits for ONE level merging two sorted runs of
+    UNEQUAL lengths: A = y[0:nA], B = y[nA:nA+nB]. Same bisection as
+    `_merge_splits` with per-side run lengths. Returns absolute element
+    offsets (a_off, b_off) per output tile."""
+    tile = 1 << tile_log
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    d = t * tile  # diagonal = global output position of the tile start
+
+    def fetch(base, off, L):
+        idx = base + off
+        v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
+        v = jnp.where((off >= L) | (idx >= n_pad), I32_MAX, v)
+        return jnp.where(off < 0, I32_MIN, v)
+
+    lo = jnp.maximum(d - nB, 0)
+    hi = jnp.minimum(d, nA)
+
+    def body(_, lohif):
+        lo, hi = lohif
+        mid = (lo + hi + 1) >> 1
+        ok = fetch(0, mid - 1, nA) <= fetch(nA, d - mid, nB)
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    n_iter = max(nA, nB).bit_length() + 1
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo, nA + (d - lo)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log",))
+def _merge_two_padded(a, b, tile_log: int):
+    """One merge-path level over pre-sorted A (len multiple of 128) and
+    pre-sorted B: returns sorted concat, +INF-padded to a tile multiple."""
+    tile = 1 << tile_log
+    R = tile // 128
+    Rw = R + 8
+    nA, nB = a.shape[0], b.shape[0]
+    n = nA + nB
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    rows = n_pad // 128
+    y = jnp.concatenate(
+        [a, b, jnp.full(n_pad - n, I32_MAX, jnp.int32)]
+    )
+    a_off, b_off = _merge_splits_two(y, nA, nB, nt, tile_log, n_pad)
+    a_end = jnp.full((nt,), nA, jnp.int32)
+    b_end = jnp.full((nt,), n, jnp.int32)
+    ypad = jnp.concatenate(
+        [y.reshape(rows, 128), jnp.full((Rw, 128), I32_MAX, jnp.int32)],
+        axis=0,
+    )
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (R, 128), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        out = pl.pallas_call(
+            _make_merge_kernel(tile_log, rows),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            compiler_params=_VMEM_BIG,
+        )(
+            a_off.astype(jnp.int32),
+            b_off.astype(jnp.int32),
+            a_end,
+            b_end,
+            ypad,
+        )
+    return out.reshape(-1)
+
+
+def merge_sorted_i32(
+    a: jax.Array, b: jax.Array, tile_log: int = TILE_LOG
+) -> jax.Array:
+    """Merge two ASCENDING-sorted i32 arrays (ties: A's elements first)
+    in one linear merge-path pass — the count-side join uses this to
+    fold the PRE-SORTED build stream into the sorted probe stream
+    without paying for it inside the 16M sort (the reference's
+    counterpart keeps its table pre-organized for probing,
+    chaining_ht.cpp:176-377; here 'pre-organized' = pre-sorted).
+    Values must lie strictly inside (INT32_MIN, INT32_MAX); lengths are
+    arbitrary (the kernel's split offsets are element-granular)."""
+    n = a.shape[0] + b.shape[0]
+    if n <= (1 << tile_log) or a.shape[0] == 0 or b.shape[0] == 0:
+        return jax.lax.sort([jnp.concatenate([a, b])], num_keys=1)[0]
+    return _merge_two_padded(a, b, tile_log)[:n]
+
+
 def pallas_sort_i32(
     x: jax.Array, tile_log: int = TILE_LOG, chunk_log: int = CHUNK_LOG
 ) -> jax.Array:

@@ -200,8 +200,9 @@ def merge_scan_stats(sk: jax.Array, st: jax.Array):
 # ---------------------------------------------------------------------------
 
 _CS_PREV, _CS_CP, _CS_BASE, _CS_W, _CS_ROW = range(5)
-_CS_R = 64  # tile height: 4x taller than the stats kernels — the dense
-#             kernel is grid-step-bound, not VMEM-bound
+_CS_R = 256  # tile height: the dense kernel is grid-step-bound, not
+#              VMEM-bound — 64→256 measured 7.5→5.0 ms at 17.8M on v5e
+#              (ladders deepen 13→15 rounds but grid steps drop 4x)
 
 
 def _make_counts32_dense_kernel(R: int):
@@ -301,14 +302,13 @@ def _make_counts32_dense_kernel(R: int):
     return kernel
 
 
-def merge_scan_build_counts(s: jax.Array, m: int):
+def merge_scan_build_counts(s: jax.Array, m: int, R: int = _CS_R):
     """Per-build-row probe multiplicities bc int32[m] from the SORTED
     i32[n] packed stream (key' << 1 | tag, tag 1 = build; the table's m
     build entries appear in table order). Padding entries (INT32_MAX =
     huge key', build tag, probe-less run) append trailing zeros that the
     [:m] slice drops.  Σ bc = total matches; dot(bc, payloads) = total
     matched-payload sum."""
-    R = _CS_R
     tile = R * 128
     n = s.shape[0]
     pad = (-n) % tile

@@ -217,11 +217,15 @@ def sorted_match_totals(
         p32 = (jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1).astype(
             jnp.int32
         )
-        from ccve_tpu.kernels.bigsort import pallas_sort_i32
+        from ccve_tpu.kernels.bigsort import merge_sorted_i32, pallas_sort_i32
 
-        # hybrid Pallas sort: ~1.7x XLA's flat sort at this scale
-        # (kernels/bigsort.py; packed values are < 2^31 - 1 as required)
-        s = pallas_sort_i32(jnp.concatenate([p32, b32]))
+        # hybrid Pallas sort of the PROBES ONLY (kernels/bigsort.py;
+        # packed values are < 2^31 - 1 as required); the build stream is
+        # already sorted (table pre-sorted, packing monotone, and at
+        # equal keys probes tag-order before builds on both sides), so
+        # it folds in as ONE extra linear merge-path pass instead of
+        # riding through the whole sort.
+        s = merge_sorted_i32(pallas_sort_i32(p32), b32)
 
         from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
 

@@ -32,3 +32,21 @@ def test_bigsort_structured():
     _check(np.full(10000, 7, np.int32))  # constant
     _check(np.arange(12000, dtype=np.int32))  # pre-sorted
     _check(np.arange(12000, dtype=np.int32)[::-1].copy())  # reversed
+
+
+def test_merge_sorted_two_runs():
+    from ccve_tpu.kernels.bigsort import merge_sorted_i32
+
+    rng = np.random.default_rng(7)
+    for nA, nB in [(16384, 2048), (8192, 8192), (5000, 3000), (300, 40),
+                   (12288, 100), (100, 12288)]:
+        a = np.sort(rng.integers(0, 1 << 20, nA).astype(np.int32))
+        b = np.sort(rng.integers(0, 1 << 20, nB).astype(np.int32))
+        ref = np.sort(np.concatenate([a, b]))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                merge_sorted_i32(
+                    jnp.asarray(a), jnp.asarray(b), tile_log=11
+                )
+            )
+        assert np.array_equal(got, ref), (nA, nB)
