@@ -156,22 +156,24 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
 def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
     """Zipf join + hash aggregate + radix sort, with skew stats."""
     from ccve_tpu.core.datagen import gen_rhs_table, gen_zipf_keys
-    from ccve_tpu.ops.aggregate import dense_aggregate, partition_histogram
-    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
+    from ccve_tpu.ops.aggregate import join_dense_aggregate, partition_histogram
+    from ccve_tpu.ops.sort_merge import build_sorted
     from ccve_tpu.ops.sort import radix_sort_pairs
 
-    keys, payloads = gen_rhs_table(domain, 1)
+    keys, payloads = gen_rhs_table(domain, 1)  # keys == arange(domain)
     table = build_sorted(keys, payloads)
     probe = jnp.asarray(gen_zipf_keys(n_probe, domain, alpha))
 
     @jax.jit
     def run(p):
-        stats = sorted_match_stats(table, p)
-        # domain is known here: perfect-hash (dense) aggregate, then
-        # radix-sort the domain-sized group table by aggregate value
-        agg = dense_aggregate(p, stats.psum, domain)
+        # aggregate pushdown: group-by key == join key and the table's
+        # keys are unique over [0, domain), so the dense aggregate is
+        # algebra over the count-side join's per-row counts — no 4M-row
+        # scatters (ops/aggregate.join_dense_aggregate; equivalence with
+        # the scatter path is asserted in tests/test_aggregate.py)
+        agg, total = join_dense_aggregate(table, p, domain)
         sk, sv = radix_sort_pairs(agg.sum, agg.keys, bits=48)
-        return stats.mult.astype(jnp.int64).sum(), agg.n_groups, sk[-1], sv[-1]
+        return total, agg.n_groups, sk[-1], sv[-1]
 
     best, out = _timed(run, probe)
     hist = np.asarray(partition_histogram(probe, 16))

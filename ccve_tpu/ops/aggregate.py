@@ -75,6 +75,45 @@ def dense_aggregate(keys: jax.Array, values: jax.Array, domain: int) -> GroupByR
     )
 
 
+def join_dense_aggregate(table, probe_keys: jax.Array, domain: int):
+    """Aggregate pushdown through the join (eager aggregation): for a
+    join probe(keys) ⋈ table followed by GROUP BY probe.key over the
+    per-probe matched-payload sums, when the table's keys are UNIQUE and
+    lie in [0, domain), every probe of key k carries the same value
+    S_k = table payload of k — so the whole aggregate is algebra over
+    the per-build-row probe counts bc (ops/sort_merge.sorted_build_counts):
+
+      count[k] = bc[k]        sum[k] = bc[k] * S_k
+      min[k] = max[k] = S_k where bc[k] > 0
+      total matches = Σ bc
+
+    Replaces the 4M-row scatter-based dense aggregate of config 4 with
+    one domain-sized elementwise pass after the count-side join — the
+    TPU-native equivalent of pushing the aggregate below the probe loop
+    (no reference counterpart; the reference materializes join output
+    chunks, pipeline.cpp's result collection).
+
+    Returns (GroupByResult over [0, domain), total_matches int64).
+    Requires table.keys == arange(domain) (checked statically where
+    possible); use `dense_aggregate` otherwise."""
+    from ccve_tpu.ops.sort_merge import sorted_build_counts
+
+    bc = sorted_build_counts(table, probe_keys).astype(jnp.int64)
+    s_k = table.payloads
+    occupied = bc > 0
+    return (
+        GroupByResult(
+            keys=table.keys,
+            count=bc,
+            sum=bc * s_k,
+            min=jnp.where(occupied, s_k, I64_MAX),
+            max=jnp.where(occupied, s_k, I64_MIN),
+            n_groups=jnp.sum(occupied.astype(jnp.int32)),
+        ),
+        jnp.sum(bc),
+    )
+
+
 def partition_histogram(keys: jax.Array, n_parts: int) -> jax.Array:
     """Per-partition key histogram (int64[n_parts]) — the skew-detection
     statistic for the distributed tier (owner = high hash bits, matching

@@ -171,6 +171,52 @@ def sorted_match_stats(
     return MatchStats(mult=mult, psum=psum[m:])
 
 
+def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
+    """Per-build-ROW probe multiplicities bc int32[m]: bc[j] = number of
+    probe keys equal to table.keys[j] (table order = sorted order). The
+    count-side primitive behind `sorted_match_totals`, exposed for
+    aggregate pushdown (ops/aggregate.join_dense_aggregate): when a
+    group-by key equals the join key, per-group stats are algebra over
+    bc and the build payloads — no per-probe materialization.
+
+    Requires the table's 32-bit packing (key span <= 2^30); falls back
+    to an XLA searchsorted-free two-sided histogram otherwise."""
+    m = table.keys.shape[0]
+    if table.pack32 is not None and jax.default_backend() != "cpu":
+        kmin, key_bits = table.pack32
+        key_lo = kmin - 1
+        key_span = 1 << key_bits
+        b32 = (((table.keys - key_lo) << 1) | 1).astype(jnp.int32)
+        p32 = (jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1).astype(
+            jnp.int32
+        )
+        from ccve_tpu.kernels.bigsort import merge_sorted_i32, pallas_sort_i32
+        from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
+
+        s = merge_sorted_i32(pallas_sort_i32(p32), b32)
+        return merge_scan_build_counts(s, m)
+    # general path: tag-sorted stream + XLA scans (CPU / wide keys)
+    n = probe_keys.shape[0]
+    keys = jnp.concatenate([table.keys, probe_keys])
+    tags = jnp.concatenate(
+        [jnp.ones(m, jnp.int32), jnp.zeros(n, jnp.int32)]
+    )
+    sk, st = jax.lax.sort([keys, tags], num_keys=2)  # probes before builds
+    ip = (st == 0).astype(jnp.int32)
+    cp = jnp.cumsum(ip)
+    run_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    base = _segment_base(run_start, cp - ip, monotone=True)
+    bc = jnp.where(st == 1, cp - base, 0)
+    # j-th build of the stream is table row j: compact by cumulative
+    # build rank via a length-m segment-sum (scatter-free on CPU is fine)
+    bidx = jnp.cumsum(st) - 1
+    return (
+        jnp.zeros(m, jnp.int32)
+        .at[jnp.clip(bidx, 0, m - 1)]
+        .add(jnp.where(st == 1, bc, 0).astype(jnp.int32))
+    )
+
+
 def sorted_match_totals(
     table: SortedTable,
     probe_keys: jax.Array,

@@ -110,3 +110,40 @@ def test_matmul_cumsum_i64_limbs():
     x[::7] = 0
     got = np.asarray(cumsum_i64_limbs(jnp.asarray(x)))
     np.testing.assert_array_equal(got, np.cumsum(x))
+
+
+def test_join_dense_aggregate_matches_scatter_path():
+    """Aggregate pushdown (join_dense_aggregate) == per-probe psum
+    scatter aggregate, on the config-4 shape at small scale."""
+    from ccve_tpu.core.datagen import gen_rhs_table, gen_zipf_keys
+    from ccve_tpu.ops.aggregate import join_dense_aggregate
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
+
+    domain = 257
+    keys, payloads = gen_rhs_table(domain, 1)
+    table = build_sorted(keys, payloads)
+    probe = jnp.asarray(gen_zipf_keys(5000, domain, 1.1))
+
+    stats = sorted_match_stats(table, probe)
+    ref = dense_aggregate(probe, stats.psum, domain)
+    got, total = join_dense_aggregate(table, probe, domain)
+
+    assert int(total) == int(stats.mult.astype(jnp.int64).sum())
+    for field in ("keys", "count", "sum", "min", "max"):
+        assert np.array_equal(
+            np.asarray(getattr(got, field)), np.asarray(getattr(ref, field))
+        ), field
+    assert int(got.n_groups) == int(ref.n_groups)
+
+
+def test_sorted_build_counts_matches_numpy():
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_build_counts
+
+    rng = np.random.default_rng(11)
+    bk = rng.integers(0, 500, 300)  # duplicate build keys
+    pk = rng.integers(-50, 600, 4000)  # some out-of-range probes
+    table = build_sorted(bk)
+    bc = np.asarray(sorted_build_counts(table, jnp.asarray(pk)))
+    sk = np.sort(bk)
+    ref = np.array([(pk == k).sum() for k in sk], np.int32)
+    assert np.array_equal(bc, ref)
