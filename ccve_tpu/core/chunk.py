@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ccve_tpu.ops import mxu_move
+
 SEL_DTYPE = jnp.int32
 COL_DTYPE = jnp.int64
 
@@ -96,14 +98,14 @@ def slice_compose(
     Positions >= result_count hold garbage (as in the reference) and are
     masked by `count`.
     """
-    new_sel = jnp.take(parent.sel, result_vector.astype(SEL_DTYPE), axis=0)
+    new_sel = mxu_move.take1(parent.sel, result_vector.astype(SEL_DTYPE))
     return Chunk(parent.cols, new_sel, jnp.asarray(result_count, jnp.int32))
 
 
 def gather_rows(chunk: Chunk) -> jax.Array:
     """Materialize live rows densely: out[:, i] = cols[:, sel[i]] for
     i < count; positions >= count are zeroed. Returns int64[n_cols, block]."""
-    dense = jnp.take(chunk.cols, chunk.sel, axis=1)
+    dense = mxu_move.take_cols(chunk.cols, chunk.sel)
     return jnp.where(valid_mask(chunk)[None, :], dense, jnp.int64(0))
 
 
@@ -128,7 +130,7 @@ def append_into(
     live = idx < n
 
     # Dense gather of the live source rows (through sel).
-    dense = jnp.take(src.cols, src.sel, axis=1)  # [n_cols, block]
+    dense = mxu_move.take_cols(src.cols, src.sel)  # [n_cols, block]
 
     target = idx + dst_count  # would-be destination rows
     in_main = live & (target < block)
@@ -136,10 +138,10 @@ def append_into(
 
     # Scatter into main: dead lanes are routed to row `block` (dropped).
     main_pos = jnp.where(in_main, target, block)
-    new_dst = dst_cols.at[:, main_pos].set(dense, mode="drop")
+    new_dst = mxu_move.put_cols(dst_cols, main_pos, dense)
 
     over_pos = jnp.where(in_over, target - block, block)
-    overflow = jnp.zeros_like(dst_cols).at[:, over_pos].set(dense, mode="drop")
+    overflow = mxu_move.put_cols(jnp.zeros_like(dst_cols), over_pos, dense)
 
     total = dst_count + n
     new_dst_count = jnp.minimum(total, block)
@@ -162,7 +164,7 @@ def compress_indices(mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     # contract everywhere (ScanState, Chunk.count).
     count = jnp.sum(mask.astype(SEL_DTYPE)).astype(SEL_DTYPE)
     scatter_pos = jnp.where(mask, pos, n)
-    result = jnp.zeros((n,), SEL_DTYPE).at[scatter_pos].set(idx, mode="drop")
+    result = mxu_move.put1(jnp.zeros((n,), SEL_DTYPE), scatter_pos, idx)
     return result, count
 
 

@@ -46,6 +46,7 @@ import numpy as np
 
 from ccve_tpu import native
 from ccve_tpu.ops.hashing import murmurhash64, murmurhash64_np
+from ccve_tpu.ops import mxu_move as mv
 
 EMPTY = -1  # empty-slot sentinel (linear_probing_ht.cpp:7)
 
@@ -332,17 +333,17 @@ def lp_probe(table: LPTable, keys: jax.Array, sel: jax.Array, count) -> ScanStat
     """LPHashTable::Probe (linear_probing_ht.cpp:39-66): hash each selected
     key to a slot, prefilter rows whose initial slot is empty."""
     block = keys.shape[0]
-    gathered = jnp.take(keys, sel.astype(jnp.int32))
+    gathered = mv.take1(keys, sel.astype(jnp.int32))
     slots = (murmurhash64(gathered) & table.mask).astype(jnp.int64)
     # scatter slot ids back to input positions (state is indexed by input row)
-    cursor = jnp.zeros(block, jnp.int64).at[sel].set(slots)
+    cursor = mv.put1(jnp.zeros(block, jnp.int64), sel, slots)
     idx = jnp.arange(block, dtype=jnp.int32)
     in_range = idx < count
-    occupied = jnp.take(table.slot_keys, jnp.take(cursor, sel)) != EMPTY
+    occupied = mv.take1(table.slot_keys, mv.take1(cursor, sel)) != EMPTY
     live = in_range & occupied
     new_sel_pos, new_count = _compress(live)
     # live positions are positions into `sel`'s order; map back to input rows
-    new_sel = jnp.take(sel, new_sel_pos)
+    new_sel = mv.take1(sel, new_sel_pos)
     return ScanState(
         cursor=cursor,
         end=jnp.full(block, -1, jnp.int64),
@@ -355,16 +356,20 @@ def csr_probe(table: CSRTable, keys: jax.Array, sel: jax.Array, count) -> ScanSt
     """HashTable::Probe (chaining_ht.cpp:38-58): hash to bucket, snapshot
     begin/end, prefilter empty buckets."""
     block = keys.shape[0]
-    gathered = jnp.take(keys, sel.astype(jnp.int32))
+    gathered = mv.take1(keys, sel.astype(jnp.int32))
     b = (murmurhash64(gathered) & table.mask).astype(jnp.int32)
-    begin = jnp.take(table.offsets, b).astype(jnp.int64)
-    endv = jnp.take(table.offsets, b + 1).astype(jnp.int64)
-    cursor = jnp.zeros(block, jnp.int64).at[sel].set(begin)
-    end = jnp.zeros(block, jnp.int64).at[sel].set(endv)
+    # one shared one-hot for both offset reads and both state scatters
+    be = mv.take_cols(table.offsets[None, :], jnp.concatenate([b, b + 1]))
+    begin = be[0, :block].astype(jnp.int64)
+    endv = be[0, block:].astype(jnp.int64)
+    ce = mv.put_cols(
+        jnp.zeros((2, block), jnp.int64), sel, jnp.stack([begin, endv])
+    )
+    cursor, end = ce[0], ce[1]
     idx = jnp.arange(block, dtype=jnp.int32)
     live = (idx < count) & (endv > begin)
     new_sel_pos, new_count = _compress(live)
-    new_sel = jnp.take(sel, new_sel_pos)
+    new_sel = mv.take1(sel, new_sel_pos)
     return ScanState(cursor=cursor, end=end, sel=new_sel.astype(jnp.int32), count=new_count)
 
 
@@ -394,31 +399,37 @@ def scan_next(
     # `count` entries of sel; stale sel entries beyond count are routed to
     # the dropped row `block` so they can't clobber live rows.
     idx = jnp.arange(block, dtype=jnp.int32)
-    live_mask = jnp.zeros(block, bool).at[
-        jnp.where(idx < state.count, state.sel, block)
-    ].set(True, mode="drop")
+    live_mask = mv.put1(
+        jnp.zeros(block, jnp.int32),
+        jnp.where(idx < state.count, state.sel, block),
+        jnp.ones(block, jnp.int32),
+    ) > 0
 
     if is_lp:
-        cand_keys = jnp.take(table.slot_keys, state.cursor)
-        cand_payloads = jnp.take(table.slot_payloads, state.cursor)
+        kp = mv.take_cols(
+            jnp.stack([table.slot_keys, table.slot_payloads]), state.cursor
+        )
+        cand_keys, cand_payloads = kp[0], kp[1]
         has_entry = cand_keys != EMPTY
     else:
         n_entries = max(table.entry_keys.shape[0], 1)
         safe = jnp.clip(state.cursor, 0, n_entries - 1).astype(jnp.int32)
-        cand_keys = jnp.take(table.entry_keys, safe)
-        cand_payloads = jnp.take(table.entry_payloads, safe)
+        kp = mv.take_cols(
+            jnp.stack([table.entry_keys, table.entry_payloads]), safe
+        )
+        cand_keys, cand_payloads = kp[0], kp[1]
         has_entry = state.cursor < state.end
 
     match = live_mask & has_entry & (cand_keys == keys)
     result_vector, result_count = _compress(match)
-    matched_keys = jnp.take(cand_keys, result_vector)
-    matched_payloads = jnp.take(cand_payloads, result_vector)
+    mk = mv.take_cols(jnp.stack([cand_keys, cand_payloads]), result_vector)
+    matched_keys, matched_payloads = mk[0], mk[1]
 
     # Advance (AdvancePointers, chaining_ht.cpp:109-124 /
     # linear_probing_ht.cpp:96-112): move cursor, drop exhausted rows.
     if is_lp:
         nxt = (state.cursor + 1) & jnp.int64(table.n_slots - 1)
-        still = live_mask & (jnp.take(table.slot_keys, nxt) != EMPTY)
+        still = live_mask & (mv.take1(table.slot_keys, nxt) != EMPTY)
     else:
         nxt = state.cursor + 1
         still = live_mask & (nxt < state.end)
