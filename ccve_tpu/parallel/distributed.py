@@ -232,6 +232,70 @@ def partition_tables_block(
     return _pack_partitions(keys, payloads, parts, n_parts, kind, mesh)
 
 
+class HotSplitTables(NamedTuple):
+    """PRPD (partial-redistribution / partial-duplication) split of one
+    build level for skewed workloads: rows whose key is a detected heavy
+    hitter are REPLICATED to every partition (`rep`, tiny), the rest are
+    hash-partitioned as usual (`part`). Probes with hot keys never enter
+    the radix shuffle — they probe the local replica — so a Zipf head
+    cannot overflow the shuffle capacity or skew the partition load."""
+
+    part: PartitionedTables
+    rep: PartitionedTables
+    hot_keys: jax.Array  # int64[H], padded with -3 (matches no key)
+
+
+def detect_heavy_hitters(
+    keys: np.ndarray, max_hot: int = 64, min_frac: float = 0.001
+) -> np.ndarray:
+    """Host-side heavy-hitter detection on a (sample of a) probe key
+    stream: the <= max_hot most frequent keys with frequency above
+    min_frac. The reference's skew story is its chunk-level selectivity
+    adaptation; distribution-level skew is a problem only a partitioned
+    engine has, so this subsystem is TPU-tier-specific."""
+    keys = np.asarray(keys).reshape(-1)
+    vals, counts = np.unique(keys, return_counts=True)
+    keep = counts >= max(1, int(min_frac * keys.shape[0]))
+    vals, counts = vals[keep], counts[keep]
+    order = np.argsort(-counts)[:max_hot]
+    return np.ascontiguousarray(vals[order], dtype=np.int64)
+
+
+def partition_tables_split(
+    keys: np.ndarray,
+    payloads: np.ndarray | None,
+    n_parts: int,
+    hot_keys: np.ndarray,
+    kind: str = "lp",
+    mesh: Mesh | None = None,
+) -> HotSplitTables:
+    """Hash-partition the cold rows; replicate the hot rows to every
+    partition (stacked copies so the SPMD program stays uniform)."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if payloads is None:
+        payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
+    hot_keys = np.ascontiguousarray(hot_keys, dtype=np.int64)
+    is_hot = np.isin(keys, hot_keys)
+    cold_idx = np.nonzero(~is_hot)[0]
+    hot_idx = np.nonzero(is_hot)[0]
+    owner = _owner_np(keys, n_parts)
+    cold_parts = [
+        cold_idx[owner[cold_idx] == p] for p in range(n_parts)
+    ]
+    part = _pack_partitions(keys, payloads, cold_parts, n_parts, kind, mesh)
+    rep = _pack_partitions(
+        keys, payloads, [hot_idx] * n_parts, n_parts, kind, mesh
+    )
+    H = max(hot_keys.shape[0], 1)
+    hk = np.full(H, -3, np.int64)
+    hk[: hot_keys.shape[0]] = hot_keys
+    hk_dev = jnp.asarray(hk)
+    if mesh is not None:
+        # replicated across the mesh: every shard tests the same hot set
+        hk_dev = jax.device_put(hk_dev, NamedSharding(mesh, P()))
+    return HotSplitTables(part=part, rep=rep, hot_keys=hk_dev)
+
+
 class DistResult(NamedTuple):
     count: jax.Array  # int64: total join output rows
     payload_checksums: jax.Array  # int64[n_levels]
@@ -245,6 +309,12 @@ def _shuffle_level_stats(table_arrays, ptables: PartitionedTables, keys, cap):
     P_ = jax.lax.axis_size(AXIS)
     n = keys.shape[0]
     owner = _owner_jnp(keys, P_)
+    # dead keys (-2: padding, or hot probes handled by the local replica)
+    # match nothing — spread them round-robin so they can't pile onto
+    # murmur(-2)'s owner and eat that partition's send capacity
+    dead = keys == -2
+    rr = jnp.arange(n, dtype=jnp.int32) % P_
+    owner = jnp.where(dead, rr, owner)
 
     order = jnp.argsort(owner, stable=True)
     owner_sorted = jnp.take(owner, order)
@@ -279,14 +349,19 @@ def _shuffle_level_stats(table_arrays, ptables: PartitionedTables, keys, cap):
 
 def dist_bulk_count(
     mesh: Mesh,
-    ptables: Sequence[PartitionedTables],
+    ptables: Sequence[PartitionedTables | HotSplitTables],
     probe_rows: np.ndarray | jax.Array,
     cap_slack: float = 2.0,
 ) -> DistResult:
     """Distributed N-way join count over `mesh`. `probe_rows` is
     int64[n, n_joins] (host or device); rows are split evenly across
     devices (padded with no-match sentinel keys), shuffled per level by
-    key ownership, and the factorized count/checksums are psum'd."""
+    key ownership, and the factorized count/checksums are psum'd.
+
+    A level given as `HotSplitTables` takes the PRPD path: probes whose
+    key is in the level's hot set are masked out of the shuffle (their
+    stats come from the local replica), so the Zipf head neither loads
+    one partition nor counts toward the send capacity."""
     n_parts = mesh.devices.size
     probe = jnp.asarray(probe_rows, jnp.int64)
     n, n_joins = probe.shape
@@ -303,9 +378,23 @@ def dist_bulk_count(
         probe, NamedSharding(mesh, P(AXIS, None))
     )
 
-    table_leaves = tuple(pt.arrays for pt in ptables)
+    def leaves(pt):
+        if isinstance(pt, HotSplitTables):
+            return (pt.part.arrays, pt.rep.arrays, pt.hot_keys)
+        return pt.arrays
+
+    table_leaves = tuple(leaves(pt) for pt in ptables)
     in_specs = (
-        jax.tree.map(lambda _: P(AXIS), table_leaves),
+        tuple(
+            (
+                jax.tree.map(lambda _: P(AXIS), pt.part.arrays),
+                jax.tree.map(lambda _: P(AXIS), pt.rep.arrays),
+                P(),
+            )
+            if isinstance(pt, HotSplitTables)
+            else jax.tree.map(lambda _: P(AXIS), pt.arrays)
+            for pt in ptables
+        ),
         P(AXIS, None),
     )
     out_specs = (P(), P(), P(), P())
@@ -315,10 +404,24 @@ def dist_bulk_count(
         hist = jnp.zeros(n_parts, jnp.int64)
         over = jnp.zeros((), jnp.int32)
         for l, pt in enumerate(ptables):
-            arrs = tuple(a[0] for a in table_leaves[l])  # squeeze shard dim
-            m, s, h, o = _shuffle_level_stats(
-                arrs, pt, probe_local[:, l], cap
-            )
+            keys = probe_local[:, l]
+            if isinstance(pt, HotSplitTables):
+                part_arrs, rep_arrs, hot = table_leaves[l]
+                arrs = tuple(a[0] for a in part_arrs)
+                hot_mask = jnp.any(
+                    keys[:, None] == hot[None, :], axis=1
+                )
+                routed = jnp.where(hot_mask, jnp.int64(-2), keys)
+                m, s, h, o = _shuffle_level_stats(arrs, pt.part, routed, cap)
+                rep_local = pt.rep.local_table(
+                    tuple(a[0] for a in rep_arrs)
+                )
+                rs = match_stats(rep_local, keys)
+                m = m + rs.mult
+                s = s + rs.psum
+            else:
+                arrs = tuple(a[0] for a in table_leaves[l])  # squeeze shard
+                m, s, h, o = _shuffle_level_stats(arrs, pt, keys, cap)
             mults.append(m.astype(jnp.int64))
             psums.append(s)
             hist = hist + h
@@ -349,6 +452,7 @@ def dist_bulk_count_ring(
     mesh: Mesh,
     ptables: Sequence[PartitionedTables],
     probe_rows: np.ndarray | jax.Array,
+    n_chunks: int = 2,
 ) -> DistResult:
     """Ring (fragment-replicate) N-way join count for BLOCK-partitioned
     builds (partition_tables_block): no radix shuffle — instead each
@@ -360,11 +464,22 @@ def dist_bulk_count_ring(
     structurally of ring attention's KV rotation), trading P× probe
     compute for zero shuffle-capacity risk — the right choice when the
     build side is small or heavily skewed.
+
+    **Exchange/compute overlap**: each device's local probe stream is
+    split into `n_chunks` independently-circulating chunks. Within a
+    rotation step the chunks are probed and permuted one after another,
+    so chunk c's ICI transfer carries no data dependency on chunk c+1's
+    probe — XLA's latency-hiding scheduler overlaps the in-flight
+    permute with the next chunk's local compute (the same software
+    pipeline ring attention uses for its KV rotation). n_chunks=1
+    degenerates to the strictly-serialized ring.
     """
     n_parts = mesh.devices.size
+    n_chunks = max(1, n_chunks)
     probe = jnp.asarray(probe_rows, jnp.int64)
     n, n_joins = probe.shape
     per_dev = -(-n // n_parts)
+    per_dev += (-per_dev) % n_chunks  # chunk-divisible
     pad = per_dev * n_parts - n
     if pad:
         probe = jnp.concatenate(
@@ -374,25 +489,46 @@ def dist_bulk_count_ring(
     table_leaves = tuple(pt.arrays for pt in ptables)
     in_specs = (jax.tree.map(lambda _: P(AXIS), table_leaves), P(AXIS, None))
     perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    per_chunk = per_dev // n_chunks
+    n_levels = len(ptables)
 
     def spmd(table_leaves, probe_local):
-        keys = probe_local.T  # [n_joins, per_dev]
-        mult = jnp.zeros((len(ptables), per_dev), jnp.int64)
-        psum = jnp.zeros((len(ptables), per_dev), jnp.int64)
-        carry = (keys, mult, psum)
-        for _ in range(n_parts):
-            keys, mult, psum = carry
-            new_mult, new_psum = [], []
-            for l, pt in enumerate(ptables):
-                arrs = tuple(a[0] for a in table_leaves[l])
-                s = match_stats(pt.local_table(arrs), keys[l])
-                new_mult.append(mult[l] + s.mult.astype(jnp.int64))
-                new_psum.append(psum[l] + s.psum)
-            carry = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, AXIS, perm),
-                (keys, jnp.stack(new_mult), jnp.stack(new_psum)),
+        locals_ = [
+            pt.local_table(tuple(a[0] for a in table_leaves[l]))
+            for l, pt in enumerate(ptables)
+        ]
+        chunks = []
+        for c in range(n_chunks):
+            sl = probe_local[c * per_chunk : (c + 1) * per_chunk].T
+            chunks.append(
+                (
+                    sl,  # [n_joins, per_chunk]
+                    jnp.zeros((n_levels, per_chunk), jnp.int64),
+                    jnp.zeros((n_levels, per_chunk), jnp.int64),
+                )
             )
-        keys, mult, psum = carry  # home again after P rotations
+        for _ in range(n_parts):
+            nxt = []
+            for c in range(n_chunks):
+                keys, mult, psum = chunks[c]
+                new_mult, new_psum = [], []
+                for l in range(n_levels):
+                    s = match_stats(locals_[l], keys[l])
+                    new_mult.append(mult[l] + s.mult.astype(jnp.int64))
+                    new_psum.append(psum[l] + s.psum)
+                # issue this chunk's permute before touching chunk c+1:
+                # no dependency between chunks -> transfer overlaps the
+                # next chunk's probe compute
+                nxt.append(
+                    jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, AXIS, perm),
+                        (keys, jnp.stack(new_mult), jnp.stack(new_psum)),
+                    )
+                )
+            chunks = nxt
+        # home again after P rotations: reassemble the local stream
+        mult = jnp.concatenate([c[1] for c in chunks], axis=1)
+        psum = jnp.concatenate([c[2] for c in chunks], axis=1)
         prod = mult[0]
         for l in range(1, len(ptables)):
             prod = prod * mult[l]

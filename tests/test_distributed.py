@@ -81,3 +81,92 @@ def test_dist_ring_matches_oracle():
     for l in range(n_joins):
         col = n_joins + 2 * l + 1
         assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+def test_dist_ring_chunked_matches_serial():
+    """Pipelined ring (n_chunks>1) must agree exactly with the
+    serialized ring, including when per-device rows don't divide the
+    chunk count (padding path)."""
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_ring,
+        partition_tables_block,
+    )
+
+    mesh = make_join_mesh(4)
+    n_joins, lhs, rhs = 2, 493, 64  # 493: uneven across 4 devs x chunks
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    ptables = [
+        partition_tables_block(keys, payloads, 4, "lp", mesh)
+        for _ in range(n_joins)
+    ]
+    a = dist_bulk_count_ring(mesh, ptables, probe, n_chunks=1)
+    b = dist_bulk_count_ring(mesh, ptables, probe, n_chunks=4)
+    assert int(a.count) == int(b.count)
+    assert np.array_equal(
+        np.asarray(a.payload_checksums), np.asarray(b.payload_checksums)
+    )
+
+
+def test_dist_hot_split_beats_skew():
+    """PRPD heavy-hitter split: a probe stream dominated by one key
+    overflows the plain shuffle at tight capacity, while the split path
+    keeps the hot key out of the shuffle entirely — correct counts, no
+    overflow, low skew."""
+    from ccve_tpu.parallel.distributed import (
+        detect_heavy_hitters,
+        partition_tables_split,
+    )
+
+    mesh = make_join_mesh(4)
+    rhs = 64
+    keys, payloads = gen_rhs_table(rhs, 2)
+    rng = np.random.default_rng(7)
+    cold = rng.choice(keys, 200)
+    probe = np.concatenate([np.full(600, keys[5]), cold])
+    rng.shuffle(probe)
+    probe = probe.reshape(-1, 1).astype(np.int64)
+
+    plain = [partition_tables(keys, payloads, 4, "lp", mesh)]
+    res_plain = dist_bulk_count(mesh, plain, probe, cap_slack=1.2)
+    assert bool(res_plain.overflow)  # the hot key swamps its owner
+
+    hot = detect_heavy_hitters(probe[:, 0], max_hot=4, min_frac=0.05)
+    assert keys[5] in hot
+    split = [
+        partition_tables_split(keys, payloads, 4, hot, "lp", mesh)
+    ]
+    res = dist_bulk_count(mesh, split, probe, cap_slack=1.2)
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)], PayloadMode.FULL
+    )
+    assert not bool(res.overflow)
+    assert int(res.count) == expected.shape[0]
+    assert int(res.payload_checksums[0]) == int(expected[:, 2].sum())
+    assert float(res.skew) < 2.5
+
+
+def test_dist_hot_split_multilevel_mixed():
+    """A HotSplitTables level can coexist with plain partitioned levels
+    in one N-way pipeline."""
+    from ccve_tpu.parallel.distributed import (
+        detect_heavy_hitters,
+        partition_tables_split,
+    )
+
+    mesh = make_join_mesh(4)
+    n_joins, lhs, rhs = 2, 500, 64
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    hot = detect_heavy_hitters(probe[:, 0], max_hot=8, min_frac=0.01)
+    lv0 = partition_tables_split(keys, payloads, 4, hot, "lp", mesh)
+    lv1 = partition_tables(keys, payloads, 4, "csr", mesh)
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.FULL
+    )
+    res = dist_bulk_count(mesh, [lv0, lv1], probe, cap_slack=8.0)
+    assert not bool(res.overflow)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
