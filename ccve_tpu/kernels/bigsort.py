@@ -6,21 +6,27 @@ device-time, but its BATCHED sort of the same data as [2176, 8192] rows
 takes ~11 ms, and a Pallas compare-exchange (CE) stage over the whole
 array costs ~0.06 ms. This module composes those fast pieces:
 
-  1. pad to a multiple of TILE = 2^17; XLA batched sort of [*, 8192]
-     rows -> sorted 8K runs                                    (~11 ms)
+  1. pad to a multiple of TILE = 2^17; in-VMEM Pallas Batcher presort
+     (levels 0..13) -> sorted 8K runs                        (~11.7 ms,
+     vs ~16 ms for XLA's batched [*, 8192] sort of the same data)
   2. ONE block-local Pallas pass of Batcher odd-even merge levels:
      runs 2^13 -> 2^17. Merge windows stay TILE-aligned, so the CE
      masks are static and every comparison is ascending (min to the
      lower index) — no reversals, no data-dependent control    (~4 ms)
   3. MERGE-PATH levels, runs 2^17 -> n: one linear pass per level.
-     A 24-step vectorized bisection (inside the jit) finds, for each
+     A vectorized bisection (inside the jit) finds, for each
      2^17-element output tile, the split (a_t, b_t) of its run pair;
-     the kernel DMAs one [1024, 128] window from each side, masks
-     elements outside [split, run end) to ∓INF, odd-even-merges the
-     two sorted halves in-register (18 static stages), shifts off the
-     -INF prefix, and emits exactly one output tile. Each level reads
-     and writes the array once — O(n) per level instead of the
-     O(n log n) of cross-block CE stages              (~1.5 ms/level)
+     the kernel DMAs one [1024, 128] window from each side and emits
+     exactly one output tile via the BITONIC LOWER-HALF extraction:
+     with odd-indexed runs stored DESCENDING (maintained level to
+     level by a parity NOT — ascending-sort of ~x IS descending-sort
+     of x), the flipped pairing min(A[i], B_logical[T-1-i]) is an
+     ELEMENT-ALIGNED min of the two stored windows; the result is
+     bitonic, and tile_log (17) halver stages over ONE tile sort it —
+     vs tile_log+1 (18) odd-even stages over TWO tiles for the naive
+     merge that computes the upper half only to discard it. Each
+     level reads and writes the array once — O(n) per level instead
+     of the O(n log n) of cross-block CE stages.
 
 Batcher stage masks (validated against numpy, tests/test_bigsort.py):
 stage (p, k): CE(x, x+k) ascending, where
@@ -85,15 +91,38 @@ def _ce_stage(x, idx, p_log: int, k_log: int, R: int):
 # ---------------------------------------------------------------------------
 
 
-def _make_local_kernel(tile_log: int, chunk_log: int):
+def _make_local_kernel(
+    tile_log: int,
+    chunk_log: int,
+    top_log: int | None = None,
+    alt_in: bool = False,
+    alt_out: bool = False,
+):
+    """Batcher levels p in [chunk_log, top_log) over [2^(tile_log-7), 128]
+    blocks — sorts each 2^top_log-aligned window, assuming 2^chunk_log
+    runs are already sorted. top_log defaults to tile_log; chunk_log = 0
+    sorts from scratch (the in-VMEM presort).
+
+    `alt_in` / `alt_out` implement the alternating-orientation storage
+    the bitonic merge-path levels need (odd TILES stored descending):
+    ascending-sort of ~x is descending-sort of x, so odd tiles are
+    bitwise-NOTted on entry to the first phase (alt_in) and NOTted back
+    on exit from the last (alt_out) — in between the stored values are
+    the complements, on which every stage runs unchanged."""
     R = 1 << (tile_log - 7)
+    top = tile_log if top_log is None else top_log
 
     def kernel(x_ref, o_ref):
         x = x_ref[:]
+        m = -(pl.program_id(0) & 1)
+        if alt_in:
+            x = x ^ m
         idx = fv.flat_index(R)  # tile-aligned windows: local == global
-        for p_log in range(chunk_log, tile_log):
+        for p_log in range(chunk_log, top):
             for k_log in range(p_log, -1, -1):
                 x = _ce_stage(x, idx, p_log, k_log, R)
+        if alt_out:
+            x = x ^ m
         o_ref[:] = x
 
     return kernel
@@ -104,28 +133,55 @@ def _make_local_kernel(tile_log: int, chunk_log: int):
 # ---------------------------------------------------------------------------
 
 
-def _merge_splits(y, run_log: int, n_tiles: int, tile_log: int, n_pad: int):
-    """For each output tile t of the level merging sorted runs of
-    2^run_log: the merge-path split (a_t, b_t) with a_t + b_t = the
-    tile's diagonal. 24-iteration vectorized bisection over all tiles
-    at once; out-of-range probes read as ∓INF. Returns ABSOLUTE element
-    offsets into y."""
+def _bitonic_stage(x, idx, k_log: int, R: int):
+    """One halver stage of the bitonic merger at static stride 2^k_log:
+    position i pairs with i ^ 2^k_log; min to the cleared-bit side.
+    tile_log such stages (k_log = tile_log-1 .. 0) sort any bitonic
+    sequence of 2^tile_log elements ascending."""
+    k = 1 << k_log
+    up = fv.shift_flat_left(x, k, R)
+    dn = fv.shift_flat_right(x, k, R, 0)
+    is_lo = (idx & k) == 0
+    return jnp.where(is_lo, jnp.minimum(x, up), jnp.maximum(x, dn))
+
+
+def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
+                      n_pad: int):
+    """Merge-path splits for one bitonic level over alternating-
+    orientation runs of 2^run_log: even runs (A) stored ascending, odd
+    runs (B) stored DESCENDING. The bisection runs on LOGICAL ascending
+    values — a descending run's logical element j lives at stored
+    position base + La-1-j, where La = its stored (non-virtual) length.
+    Returns, per output tile: the A window's absolute stored start and
+    its valid element count, the B window's absolute stored start and
+    its +INF front count, and the output run's orientation mask (0
+    ascending / -1 descending — tile written as complements)."""
     L = 1 << run_log
     tile = 1 << tile_log
     t = jnp.arange(n_tiles, dtype=jnp.int32)
     gpos = t * tile  # global output position of the tile start
     pair = gpos // (2 * L)
-    d = gpos - pair * 2 * L  # diagonal within the pair, in [0, 2L)
+    q0 = gpos - pair * 2 * L  # tile start WITHIN the output run's storage
     a_base = pair * 2 * L
     b_base = a_base + L
+    La = jnp.clip(n_pad - b_base, 0, L)  # stored length of the B run
+    # Truncated runs store their SMALLEST La elements (desc runs in
+    # reverse), so a desc output tile at stored offset q0 holds logical
+    # merged elements [Lo-q0-tile, Lo-q0) reversed (Lo = the output
+    # run's stored length) — its merge diagonal counts from that end.
+    Lo = jnp.clip(n_pad - a_base, 0, 2 * L)
+    d = jnp.where((pair & 1) == 1, Lo - q0 - tile, q0)
 
-    def fetch(base, off):
-        # y[base + off] with run-relative bounds: +INF at or past the
-        # run end (off >= L — e.g. the B[d-a] probe at a = d-L — or past
-        # n_pad, a virtual pad run), -INF below 0 (the A[-1] probe)
-        idx = base + off
+    def fetch_a(off):
+        idx = a_base + off
         v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
         v = jnp.where((off >= L) | (idx >= n_pad), I32_MAX, v)
+        return jnp.where(off < 0, I32_MIN, v)
+
+    def fetch_b(off):
+        idx = b_base + La - 1 - off
+        v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
+        v = jnp.where(off >= La, I32_MAX, v)
         return jnp.where(off < 0, I32_MIN, v)
 
     # find max a in [lo0, hi0] with A[a-1] <= B[d-a]  (then B[b-1] < A[a])
@@ -135,12 +191,69 @@ def _merge_splits(y, run_log: int, n_tiles: int, tile_log: int, n_pad: int):
     def body(_, lohif):
         lo, hi = lohif
         mid = (lo + hi + 1) >> 1
-        ok = fetch(a_base, mid - 1) <= fetch(b_base, d - mid)
+        ok = fetch_a(mid - 1) <= fetch_b(d - mid)
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
 
     lo, hi = jax.lax.fori_loop(0, run_log + 2, body, (lo, hi))
     a = lo
-    return a_base + a, b_base + (d - a)
+    sb = d - a
+    a_off = a_base + a
+    a_rem = jnp.clip(jnp.minimum(a_base + L, n_pad) - a_off, 0, tile)
+    # stored window of B's flipped logical slice [sb, sb+tile): it ENDS
+    # at stored position base + La-1-sb, so it starts tile-1 earlier;
+    # logical offsets >= La are +INF and sit at the window's FRONT
+    b_off = jnp.maximum(b_base + La - sb - tile, 0)
+    b_front = jnp.clip(sb + tile - La, 0, tile)
+    out_m = -(pair & 1)
+    return (
+        a_off.astype(jnp.int32),
+        a_rem.astype(jnp.int32),
+        b_off.astype(jnp.int32),
+        b_front.astype(jnp.int32),
+        out_m.astype(jnp.int32),
+    )
+
+
+def _make_bitonic_merge_kernel(tile_log: int, rows: int):
+    """Bitonic lower-half merge-path kernel: one output tile per grid
+    step. Loads the A window (ascending run, +INF past a_rem) and the B
+    window (descending-stored run — its stored order IS the flipped
+    ascending order the pairing needs; +INF for the first b_front
+    slots), takes the element-aligned min — a bitonic sequence whose
+    sort is exactly the tile's T smallest elements — and sorts it with
+    tile_log halver stages. out_m = -1 complements in/out so odd output
+    runs land stored-descending without any in-register flip (the half
+    the naive odd-even merge computed and discarded is gone: tile_log
+    stages over ONE tile vs tile_log+1 over two)."""
+    R = 1 << (tile_log - 7)
+    Rw = R + 8  # slack rows: the alignment shift consumes < 128 elems
+
+    def kernel(a_off_r, a_rem_r, b_off_r, b_front_r, out_m_r, y_hbm,
+               o_ref, wa, wb, sema, semb):
+        t = pl.program_id(0)
+        a_off, b_off = a_off_r[t], b_off_r[t]
+        a_rem, b_front, m = a_rem_r[t], b_front_r[t], out_m_r[t]
+        ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows)
+        rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows)
+        ca = pltpu.make_async_copy(y_hbm.at[pl.ds(ra, Rw)], wa, sema)
+        cb = pltpu.make_async_copy(y_hbm.at[pl.ds(rb, Rw)], wb, semb)
+        ca.start()
+        cb.start()
+        ca.wait()
+        cb.wait()
+
+        a = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
+        b = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
+        flat = fv.flat_index(R)
+        a = jnp.where(flat >= a_rem, I32_MAX, a)
+        b = jnp.where(flat < b_front, I32_MAX, b)
+
+        x = jnp.minimum(a, b) ^ m
+        for k_log in range(tile_log - 1, -1, -1):
+            x = _bitonic_stage(x, flat, k_log, R)
+        o_ref[...] = x ^ m
+
+    return kernel
 
 
 def _make_merge_kernel(tile_log: int, rows: int):
@@ -204,19 +317,33 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
     rows = n_pad // 128
     R = tile // 128
 
-    # phase 1: XLA batched pre-sort of CHUNK-length runs
-    y = jax.lax.sort(
-        [x.reshape(-1, 1 << chunk_log)], dimension=1, num_keys=1
-    )[0].reshape(rows, 128)
+    n_levels = max(nt - 1, 0).bit_length()  # ceil(log2(nt))
+    alt = n_levels > 0  # alternate tile orientation for bitonic merges
 
+    y = x.reshape(rows, 128)
     with jax.enable_x64(False):
-        # phase 2: tile-local levels
+        # phase 1: in-VMEM Batcher presort of CHUNK-length runs from
+        # scratch (levels 0..chunk_log within each tile); odd tiles
+        # enter complemented (alt_in) and STAY complemented until the
+        # end of phase 2. Measured 11.7 ms vs 16.1 ms for XLA's batched
+        # [*, 2^13] sort at 17M (scripts/probe_presort.py) — on-chip.
+        spec = pl.BlockSpec(
+            (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        y = pl.pallas_call(
+            _make_local_kernel(tile_log, 0, chunk_log, alt_in=alt),
+            grid=(nt,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            compiler_params=_VMEM_BIG,
+        )(y)
+
+        # phase 2: tile-local levels; un-complement on exit, leaving
+        # odd tiles stored DESCENDING
         if tile_log > chunk_log:
-            spec = pl.BlockSpec(
-                (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-            )
             y = pl.pallas_call(
-                _make_local_kernel(tile_log, chunk_log),
+                _make_local_kernel(tile_log, chunk_log, alt_out=alt),
                 grid=(nt,),
                 in_specs=[spec],
                 out_specs=spec,
@@ -224,25 +351,23 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
                 compiler_params=_VMEM_BIG,
             )(y)
 
-    # phase 3: merge-path levels
-    n_levels = max(nt - 1, 0).bit_length()  # ceil(log2(nt))
+    # phase 3: bitonic merge-path levels over alternating-orientation
+    # runs; the final level's single output run (pair 0) is ascending
     Rw = R + 8
-    merge_kernel = _make_merge_kernel(tile_log, rows)
+    merge_kernel = _make_bitonic_merge_kernel(tile_log, rows)
     for lvl in range(n_levels):
         run_log = tile_log + lvl
-        L = 1 << run_log
         yf = y.reshape(-1)
-        a_off, b_off = _merge_splits(yf, run_log, nt, tile_log, n_pad)
-        pair = (jnp.arange(nt, dtype=jnp.int32) * tile) // (2 * L)
-        a_end = jnp.minimum(pair * 2 * L + L, n_pad)
-        b_end = jnp.minimum(pair * 2 * L + 2 * L, n_pad)
+        a_off, a_rem, b_off, b_front, out_m = _merge_splits_alt(
+            yf, run_log, nt, tile_log, n_pad
+        )
         # Rw rows of +INF slack so any in-range window read is valid
         ypad = jnp.concatenate(
             [y, jnp.full((Rw, 128), I32_MAX, jnp.int32)], axis=0
         )
         with jax.enable_x64(False):
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
+                num_scalar_prefetch=5,
                 grid=(nt,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec(
@@ -262,13 +387,7 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
                 compiler_params=_VMEM_BIG,
-            )(
-                a_off.astype(jnp.int32),
-                b_off.astype(jnp.int32),
-                a_end.astype(jnp.int32),
-                b_end.astype(jnp.int32),
-                ypad,
-            )
+            )(a_off, a_rem, b_off, b_front, out_m, ypad)
 
     return y.reshape(-1)
 
