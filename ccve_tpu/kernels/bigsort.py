@@ -214,7 +214,8 @@ def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
     )
 
 
-def _make_bitonic_merge_kernel(tile_log: int, rows: int):
+def _make_bitonic_merge_kernel(tile_log: int, rows: int,
+                               n_real: int | None = None):
     """Bitonic lower-half merge-path kernel: one output tile per grid
     step. Loads the A window (ascending run, +INF past a_rem) and the B
     window (descending-stored run — its stored order IS the flipped
@@ -224,81 +225,48 @@ def _make_bitonic_merge_kernel(tile_log: int, rows: int):
     tile_log halver stages. out_m = -1 complements in/out so odd output
     runs land stored-descending without any in-register flip (the half
     the naive odd-even merge computed and discarded is gone: tile_log
-    stages over ONE tile vs tile_log+1 over two)."""
+    stages over ONE tile vs tile_log+1 over two).
+
+    `rows` bounds the DMA start row (the buffer has rows + Rw rows).
+    With `n_real` set, grid steps t >= n_real write a +INF tile instead
+    — the level's output carries its own end slack, so the next level
+    needs no fresh concatenation."""
     R = 1 << (tile_log - 7)
     Rw = R + 8  # slack rows: the alignment shift consumes < 128 elems
 
     def kernel(a_off_r, a_rem_r, b_off_r, b_front_r, out_m_r, y_hbm,
                o_ref, wa, wb, sema, semb):
         t = pl.program_id(0)
-        a_off, b_off = a_off_r[t], b_off_r[t]
-        a_rem, b_front, m = a_rem_r[t], b_front_r[t], out_m_r[t]
-        ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows)
-        rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows)
-        ca = pltpu.make_async_copy(y_hbm.at[pl.ds(ra, Rw)], wa, sema)
-        cb = pltpu.make_async_copy(y_hbm.at[pl.ds(rb, Rw)], wb, semb)
-        ca.start()
-        cb.start()
-        ca.wait()
-        cb.wait()
 
-        a = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
-        b = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
-        flat = fv.flat_index(R)
-        a = jnp.where(flat >= a_rem, I32_MAX, a)
-        b = jnp.where(flat < b_front, I32_MAX, b)
+        @pl.when(t < n_real if n_real is not None else t >= 0)
+        def _merge():
+            a_off, b_off = a_off_r[t], b_off_r[t]
+            a_rem, b_front, m = a_rem_r[t], b_front_r[t], out_m_r[t]
+            ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows)
+            rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows)
+            ca = pltpu.make_async_copy(y_hbm.at[pl.ds(ra, Rw)], wa, sema)
+            cb = pltpu.make_async_copy(y_hbm.at[pl.ds(rb, Rw)], wb, semb)
+            ca.start()
+            cb.start()
+            ca.wait()
+            cb.wait()
 
-        x = jnp.minimum(a, b) ^ m
-        for k_log in range(tile_log - 1, -1, -1):
-            x = _bitonic_stage(x, flat, k_log, R)
-        o_ref[...] = x ^ m
+            a = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
+            b = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
+            flat = fv.flat_index(R)
+            a = jnp.where(flat >= a_rem, I32_MAX, a)
+            b = jnp.where(flat < b_front, I32_MAX, b)
 
-    return kernel
+            x = jnp.minimum(a, b) ^ m
+            for k_log in range(tile_log - 1, -1, -1):
+                x = _bitonic_stage(x, flat, k_log, R)
+            o_ref[...] = x ^ m
 
+        if n_real is not None:
 
-def _make_merge_kernel(tile_log: int, rows: int):
-    """Merge-path kernel: one output tile per grid step. Scalar-prefetch
-    arrays give each side's absolute split offset and run-end. Each side
-    loads an [R+8, 128] row-aligned window and ALIGNS it in-register
-    (one dynamic flat shift by split mod 128), so the two merge halves
-    start exactly at their splits — a half therefore always holds a full
-    tile of its run, with +INF past the run end / array end (the fill
-    both the shift and the run-end mask produce). The halves odd-even-
-    merge in-register (tile_log+1 static stages); the first half of the
-    result is the output tile. One compiled kernel serves every level
-    (the level enters only through the prefetched offsets)."""
-    R = 1 << (tile_log - 7)
-    Rw = R + 8  # slack rows: the alignment shift consumes < 128 elems
-    R2 = 2 * R
-
-    def kernel(a_off_r, b_off_r, a_end_r, b_end_r, y_hbm, o_ref, wa, wb,
-               sema, semb):
-        t = pl.program_id(0)
-        a_off, b_off = a_off_r[t], b_off_r[t]
-        a_end, b_end = a_end_r[t], b_end_r[t]
-        # clamp into the padded buffer: a fully-virtual run (base past
-        # n_pad) reads the +INF slack; its run-end mask voids the values
-        ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows)
-        rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows)
-        ca = pltpu.make_async_copy(y_hbm.at[pl.ds(ra, Rw)], wa, sema)
-        cb = pltpu.make_async_copy(y_hbm.at[pl.ds(rb, Rw)], wb, semb)
-        ca.start()
-        cb.start()
-        ca.wait()
-        cb.wait()
-
-        a = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
-        b = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
-        flat = fv.flat_index(R)
-        a = jnp.where(flat >= a_end - a_off, I32_MAX, a)
-        b = jnp.where(flat >= b_end - b_off, I32_MAX, b)
-
-        x = jnp.concatenate([a, b], axis=0)
-        idx2 = fv.flat_index(R2)
-        # odd-even merge of two sorted 2^tile_log halves: p = tile
-        for k_log in range(tile_log, -1, -1):
-            x = _ce_stage(x, idx2, tile_log, k_log, R2)
-        o_ref[...] = x[0:R]
+            @pl.when(t >= n_real)
+            def _slack():
+                o_ref[...] = jnp.full((R, 128), I32_MAX, jnp.int32)
 
     return kernel
 
@@ -352,23 +320,29 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
             )(y)
 
     # phase 3: bitonic merge-path levels over alternating-orientation
-    # runs; the final level's single output run (pair 0) is ascending
+    # runs; the final level's single output run (pair 0) is ascending.
+    # The array lives in a buffer with 2R rows (>= Rw) of +INF end
+    # slack the whole way: each level's grid has 2 extra steps that
+    # re-emit the slack tiles, so NO per-level concatenation copies.
     Rw = R + 8
-    merge_kernel = _make_bitonic_merge_kernel(tile_log, rows)
+    if n_levels:
+        y = jnp.concatenate(
+            [y, jnp.full((2 * R, 128), I32_MAX, jnp.int32)], axis=0
+        )
+    merge_kernel = _make_bitonic_merge_kernel(
+        tile_log, rows + R - 8, n_real=nt
+    )
+    pad2 = jnp.zeros(2, jnp.int32)
     for lvl in range(n_levels):
         run_log = tile_log + lvl
         yf = y.reshape(-1)
         a_off, a_rem, b_off, b_front, out_m = _merge_splits_alt(
             yf, run_log, nt, tile_log, n_pad
         )
-        # Rw rows of +INF slack so any in-range window read is valid
-        ypad = jnp.concatenate(
-            [y, jnp.full((Rw, 128), I32_MAX, jnp.int32)], axis=0
-        )
         with jax.enable_x64(False):
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=5,
-                grid=(nt,),
+                grid=(nt + 2,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec(
                     (R, 128),
@@ -385,27 +359,41 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
             y = pl.pallas_call(
                 merge_kernel,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((rows + 2 * R, 128), jnp.int32),
                 compiler_params=_VMEM_BIG,
-            )(a_off, a_rem, b_off, b_front, out_m, ypad)
+            )(
+                jnp.concatenate([a_off, pad2]),
+                jnp.concatenate([a_rem, pad2]),
+                jnp.concatenate([b_off, pad2]),
+                jnp.concatenate([b_front, pad2]),
+                jnp.concatenate([out_m, pad2]),
+                y,
+            )
 
-    return y.reshape(-1)
+    return y.reshape(-1)[:n_pad]
 
 
 def _merge_splits_two(y, nA: int, nB: int, n_tiles: int, tile_log: int,
-                      n_pad: int):
+                      n_pad: int, base: int = 0):
     """Merge-path splits for ONE level merging two sorted runs of
-    UNEQUAL lengths: A = y[0:nA], B = y[nA:nA+nB]. Same bisection as
-    `_merge_splits` with per-side run lengths. Returns absolute element
-    offsets (a_off, b_off) per output tile."""
+    UNEQUAL lengths: A = y[base:base+nA] ascending, B the next nB
+    elements stored DESCENDING (flipped by the caller so the bitonic
+    kernel's pairing is element-aligned). The bisection runs on logical
+    ascending B values: B[j] = y[base + nA + nB-1-j]. Returned offsets
+    are base-relative. Output is a single ascending run."""
     tile = 1 << tile_log
     t = jnp.arange(n_tiles, dtype=jnp.int32)
     d = t * tile  # diagonal = global output position of the tile start
 
-    def fetch(base, off, L):
-        idx = base + off
-        v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
-        v = jnp.where((off >= L) | (idx >= n_pad), I32_MAX, v)
+    def fetch_a(off):
+        v = jnp.take(y, base + jnp.clip(off, 0, n_pad - 1), mode="clip")
+        v = jnp.where(off >= nA, I32_MAX, v)
+        return jnp.where(off < 0, I32_MIN, v)
+
+    def fetch_b(off):
+        idx = nA + nB - 1 - off
+        v = jnp.take(y, base + jnp.clip(idx, 0, n_pad - 1), mode="clip")
+        v = jnp.where(off >= nB, I32_MAX, v)
         return jnp.where(off < 0, I32_MIN, v)
 
     lo = jnp.maximum(d - nB, 0)
@@ -414,18 +402,37 @@ def _merge_splits_two(y, nA: int, nB: int, n_tiles: int, tile_log: int,
     def body(_, lohif):
         lo, hi = lohif
         mid = (lo + hi + 1) >> 1
-        ok = fetch(0, mid - 1, nA) <= fetch(nA, d - mid, nB)
+        ok = fetch_a(mid - 1) <= fetch_b(d - mid)
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
 
     n_iter = max(nA, nB).bit_length() + 1
     lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    return lo, nA + (d - lo)
+    a = lo
+    sb = d - a
+    a_rem = jnp.clip(nA - a, 0, tile)
+    # can be NEGATIVE by up to `tile` when B is nearly consumed (the
+    # +INF front of the flipped window precedes the array) — the caller
+    # offsets into ypad's +INF front slack rather than clamping, which
+    # would misalign the valid tail of the window
+    b_off = nA + nB - sb - tile
+    b_front = jnp.clip(sb + tile - nB, 0, tile)
+    zero = jnp.zeros_like(a)
+    return (
+        a.astype(jnp.int32),
+        a_rem.astype(jnp.int32),
+        b_off.astype(jnp.int32),
+        b_front.astype(jnp.int32),
+        zero.astype(jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile_log",))
 def _merge_two_padded(a, b, tile_log: int):
-    """One merge-path level over pre-sorted A (len multiple of 128) and
-    pre-sorted B: returns sorted concat, +INF-padded to a tile multiple."""
+    """One bitonic merge-path level over pre-sorted A and pre-sorted B:
+    returns sorted concat, +INF-padded to a tile multiple. B is flipped
+    into descending storage first (one cheap XLA reverse of the SMALL
+    side — callers pass the build stream as B) so the kernel's aligned
+    min-pairing applies."""
     tile = 1 << tile_log
     R = tile // 128
     Rw = R + 8
@@ -434,19 +441,28 @@ def _merge_two_padded(a, b, tile_log: int):
     n_pad = n + ((-n) % tile)
     nt = n_pad // tile
     rows = n_pad // 128
-    y = jnp.concatenate(
-        [a, b, jnp.full(n_pad - n, I32_MAX, jnp.int32)]
-    )
-    a_off, b_off = _merge_splits_two(y, nA, nB, nt, tile_log, n_pad)
-    a_end = jnp.full((nt,), nA, jnp.int32)
-    b_end = jnp.full((nt,), n, jnp.int32)
+    # ONE assembly concat with +INF slack on BOTH sides: b_off may be
+    # negative by up to `tile` (< Rw*128) when B is nearly consumed —
+    # those window slots are +INF-masked, but the DMA must still have
+    # rows to read
+    slack = Rw * 128
+    inf_slack = jnp.full(slack, I32_MAX, jnp.int32)
     ypad = jnp.concatenate(
-        [y.reshape(rows, 128), jnp.full((Rw, 128), I32_MAX, jnp.int32)],
-        axis=0,
+        [
+            inf_slack,
+            a,
+            b[::-1],
+            jnp.full(n_pad - n, I32_MAX, jnp.int32),
+            inf_slack,
+        ]
+    ).reshape(rows + 2 * Rw, 128)
+    a_off, a_rem, b_off, b_front, out_m = _merge_splits_two(
+        ypad.reshape(-1), nA, nB, nt, tile_log, n_pad, base=slack
     )
+    splits = (a_off + slack, a_rem, b_off + slack, b_front, out_m)
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(nt,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(
@@ -460,17 +476,11 @@ def _merge_two_padded(a, b, tile_log: int):
             ],
         )
         out = pl.pallas_call(
-            _make_merge_kernel(tile_log, rows),
+            _make_bitonic_merge_kernel(tile_log, rows + Rw),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
             compiler_params=_VMEM_BIG,
-        )(
-            a_off.astype(jnp.int32),
-            b_off.astype(jnp.int32),
-            a_end,
-            b_end,
-            ypad,
-        )
+        )(*splits, ypad)
     return out.reshape(-1)
 
 
