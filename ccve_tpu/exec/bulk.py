@@ -200,6 +200,7 @@ def csr_match_stats(table: CSRTable, keys: jax.Array) -> MatchStats:
 
 
 def match_stats(table, keys: jax.Array) -> MatchStats:
+    keys = keys.astype(jnp.int64)  # narrow probe columns widen here
     if isinstance(table, LPTable):
         return lp_match_stats(table, keys)
     if isinstance(table, CSRTable):
@@ -252,7 +253,12 @@ def bulk_count(
     (int64[n, n_joins]) against `tables` without materializing output.
     Optionally processes in `tile_rows`-row tiles to bound memory."""
     tables = tuple(tables)
-    probe = jnp.asarray(probe_rows, jnp.int64).T  # [n_joins, n]
+    # keep an i32 probe table narrow — the sort-merge totals path packs
+    # i32 columns without the (slow, emulated) int64 elementwise pass
+    probe = jnp.asarray(probe_rows)
+    if probe.dtype != jnp.int32:
+        probe = probe.astype(jnp.int64)
+    probe = probe.T  # [n_joins, n]
     n = probe.shape[1]
     if tile_rows is None or tile_rows >= n:
         return _bulk_count_jit(tables, probe)

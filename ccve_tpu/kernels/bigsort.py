@@ -290,34 +290,23 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
 
     y = x.reshape(rows, 128)
     with jax.enable_x64(False):
-        # phase 1: in-VMEM Batcher presort of CHUNK-length runs from
-        # scratch (levels 0..chunk_log within each tile); odd tiles
-        # enter complemented (alt_in) and STAY complemented until the
-        # end of phase 2. Measured 11.7 ms vs 16.1 ms for XLA's batched
-        # [*, 2^13] sort at 17M (scripts/probe_presort.py) — on-chip.
+        # phases 1+2 FUSED: one in-VMEM Batcher pass per tile, levels
+        # 0..tile_log from scratch — one HBM round trip and one launch
+        # instead of two (the split form measured 7.5 + 3.6 ms at 16M
+        # in-pipeline). Odd tiles are complemented on entry and
+        # un-complemented on exit (alt), leaving them stored DESCENDING
+        # for the bitonic merge levels.
         spec = pl.BlockSpec(
             (R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         y = pl.pallas_call(
-            _make_local_kernel(tile_log, 0, chunk_log, alt_in=alt),
+            _make_local_kernel(tile_log, 0, alt_in=alt, alt_out=alt),
             grid=(nt,),
             in_specs=[spec],
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
             compiler_params=_VMEM_BIG,
         )(y)
-
-        # phase 2: tile-local levels; un-complement on exit, leaving
-        # odd tiles stored DESCENDING
-        if tile_log > chunk_log:
-            y = pl.pallas_call(
-                _make_local_kernel(tile_log, chunk_log, alt_out=alt),
-                grid=(nt,),
-                in_specs=[spec],
-                out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-                compiler_params=_VMEM_BIG,
-            )(y)
 
     # phase 3: bitonic merge-path levels over alternating-orientation
     # runs; the final level's single output run (pair 0) is ascending.

@@ -302,13 +302,18 @@ def _make_counts32_dense_kernel(R: int):
     return kernel
 
 
-def merge_scan_build_counts(s: jax.Array, m: int, R: int = _CS_R):
+def merge_scan_build_counts(
+    s: jax.Array, m: int, R: int = _CS_R, extra: int = 0
+):
     """Per-build-row probe multiplicities bc int32[m] from the SORTED
     i32[n] packed stream (key' << 1 | tag, tag 1 = build; the table's m
     build entries appear in table order). Padding entries (INT32_MAX =
     huge key', build tag, probe-less run) append trailing zeros that the
-    [:m] slice drops.  Σ bc = total matches; dot(bc, payloads) = total
-    matched-payload sum."""
+    [:m] slice drops. `extra` bounds ADDITIONAL phantom build entries
+    already present in the stream (a padded upstream sort/merge keeps
+    its +INF tail rather than paying a trim copy) so the dense output
+    buffer is sized to absorb them.  Σ bc = total matches;
+    dot(bc, payloads) = total matched-payload sum."""
     tile = R * 128
     n = s.shape[0]
     pad = (-n) % tile
@@ -318,8 +323,8 @@ def merge_scan_build_counts(s: jax.Array, m: int, R: int = _CS_R):
         )
     rows = s.shape[0] // 128
     s2 = s.reshape(rows, 128)
-    # appended values <= m + pad; round up to flush rows plus slack
-    out_rows = -(-(m + tile) // 128) + R
+    # appended values <= m + pad + extra; round up to flush rows + slack
+    out_rows = -(-(m + tile + max(extra, 0)) // 128) + R
     spec = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
         bc = pl.pallas_call(

@@ -126,7 +126,7 @@ def _merged_stats(table: SortedTable, probe_keys: jax.Array, allow_negative):
 
     # Builds precede probes at equal keys because they come first in the
     # concat and the sort is stable — no tag operand needed.
-    keys = jnp.concatenate([table.keys, probe_keys])
+    keys = jnp.concatenate([table.keys, probe_keys.astype(jnp.int64)])
     pay = jnp.concatenate([table.payloads, jnp.zeros(n, jnp.int64)])
     row = jnp.concatenate(
         [jnp.full(m, -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
@@ -187,9 +187,21 @@ def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
         key_lo = kmin - 1
         key_span = 1 << key_bits
         b32 = (((table.keys - key_lo) << 1) | 1).astype(jnp.int32)
-        p32 = (jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1).astype(
-            jnp.int32
-        )
+        if (
+            probe_keys.dtype == jnp.int32
+            and -(2**31) <= key_lo
+            and key_lo + key_span - 1 < 2**31
+        ):
+            pkc = jnp.clip(
+                probe_keys,
+                jnp.int32(key_lo),
+                jnp.int32(key_lo + key_span - 1),
+            )
+            p32 = (pkc - jnp.int32(key_lo)) << 1
+        else:
+            p32 = (
+                jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1
+            ).astype(jnp.int32)
         from ccve_tpu.kernels.bigsort import merge_sorted_i32, pallas_sort_i32
         from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
 
@@ -197,7 +209,7 @@ def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
         return merge_scan_build_counts(s, m)
     # general path: tag-sorted stream + XLA scans (CPU / wide keys)
     n = probe_keys.shape[0]
-    keys = jnp.concatenate([table.keys, probe_keys])
+    keys = jnp.concatenate([table.keys, probe_keys.astype(jnp.int64)])
     tags = jnp.concatenate(
         [jnp.ones(m, jnp.int32), jnp.zeros(n, jnp.int32)]
     )
@@ -256,27 +268,61 @@ def sorted_match_totals(
         # sort than the packed-int64 operand (measured: i32 ~51 ms vs
         # i64 ~75 ms at 17M on v5e). Exact for negative payloads too:
         # the dot carries the sign.
+        #
+        # The whole chain runs PADDED: the pack pads to a sort-tile
+        # multiple in the same fused pass, the sort/merge keep their
+        # padding (+INF entries are build-tagged phantoms with huge
+        # keys that sort last and fall off the bc[:m] slice), and no
+        # intermediate concat/trim copy ever touches HBM. A probe
+        # column already narrowed to i32 skips the int64 pack entirely
+        # (elementwise i64 emulation costs ~3.8 ms at 16M — measured,
+        # scripts/probe_pack.py — ~8x the i32 form).
         kmin, key_bits = table.pack32
         key_lo = kmin - 1
         key_span = 1 << key_bits
         b32 = (((table.keys - key_lo) << 1) | 1).astype(jnp.int32)
-        p32 = (jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1).astype(
-            jnp.int32
+        i32_ok = (
+            probe_keys.dtype == jnp.int32
+            # clamp-then-subtract stays in i32 iff both clamp bounds do
+            and -(2**31) <= key_lo
+            and key_lo + key_span - 1 < 2**31
         )
-        from ccve_tpu.kernels.bigsort import merge_sorted_i32, pallas_sort_i32
+        if i32_ok:
+            # clamp BEFORE the subtract (both bounds fit i32, so neither
+            # the clip nor the shifted difference can wrap)
+            pkc = jnp.clip(
+                probe_keys,
+                jnp.int32(key_lo),
+                jnp.int32(key_lo + key_span - 1),
+            )
+            p32 = (pkc - jnp.int32(key_lo)) << 1
+        else:
+            p32 = (
+                jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1
+            ).astype(jnp.int32)
 
-        # hybrid Pallas sort of the PROBES ONLY (kernels/bigsort.py;
-        # packed values are < 2^31 - 1 as required); the build stream is
-        # already sorted (table pre-sorted, packing monotone, and at
-        # equal keys probes tag-order before builds on both sides), so
-        # it folds in as ONE extra linear merge-path pass instead of
-        # riding through the whole sort.
-        s = merge_sorted_i32(pallas_sort_i32(p32), b32)
-
+        from ccve_tpu.kernels import bigsort as bs
         from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
 
-        bc = merge_scan_build_counts(s, m).astype(jnp.int64)
+        n = p32.shape[0]
+        tile = 1 << bs.TILE_LOG
+        if n <= (1 << bs.CHUNK_LOG):
+            s = bs.merge_sorted_i32(jax.lax.sort([p32], num_keys=1)[0], b32)
+            bc = merge_scan_build_counts(s, m).astype(jnp.int64)
+        else:
+            n_pad = n + ((-n) % tile)
+            p32 = jnp.pad(
+                p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
+            )
+            sp = bs._sort_padded(p32, bs.TILE_LOG, bs.CHUNK_LOG)
+            s = bs._merge_two_padded(sp, b32, bs.TILE_LOG)
+            bc = merge_scan_build_counts(
+                s, m, extra=s.shape[0] - (n + m)
+            ).astype(jnp.int64)
         return jnp.sum(bc), jnp.sum(bc * table.payloads)
+
+    # remaining branches mix probe keys with int64 operands
+    probe_keys = probe_keys.astype(jnp.int64)
 
     if table.pack is not None and not allow_negative:
         # ONE-operand sort: (key', payload-or-tag) packed into an int64.

@@ -107,3 +107,28 @@ def test_pack_meta_rejects_wide_ranges():
 
     c, p = sorted_match_totals(st, probe, use_kernel=False)
     assert int(c) == 2 and int(p) == 11
+
+
+@pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
+def test_pack32_padded_pipeline(probe_dtype):
+    """The TPU count-side path end-to-end in interpret mode: i32 pack
+    (narrow or widened probe column), padded hybrid sort, padded
+    unequal merge, dense-counts kernel with phantom +INF build entries
+    (`extra`) — against the XLA scan path on the same data. n is chosen
+    to exceed the pre-sort chunk so the padded branch actually runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops.sort_merge import sorted_match_totals
+
+    m = 1000
+    keys, payloads = gen_rhs_table(m, 2)
+    st = build_sorted(keys, payloads)
+    rng = np.random.default_rng(11)
+    probe = rng.integers(0, m, 150_000).astype(probe_dtype)
+    ref_c, ref_p = sorted_match_totals(
+        st, jnp.asarray(probe.astype(np.int64)), use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        c, p = sorted_match_totals(st, jnp.asarray(probe), use_kernel=True)
+    assert int(c) == int(ref_c)
+    assert int(p) == int(ref_p)
