@@ -192,35 +192,36 @@ class JoinPipeline:
         )
 
     def _step(self, st: _WorkState, thresholds) -> _WorkState:
-        """One Next at level `cur`: match/gather, compact, then descend,
-        collect, or stay (the body of the `while (ss.HasNext())` loop,
-        main.cpp:150-161)."""
-        cur = st.cur
+        """One Next at level `cur` (the body of the `while (ss.HasNext())`
+        loop, main.cpp:150-161). The level is dispatched through ONE
+        lax.switch whose branches are specialized per STATIC level: all
+        state indexing is static, the probe table is direct (no inner
+        switch), and only the relevant route exists — collect at the
+        final level, descend elsewhere. The work loop is latency-bound
+        at one block per step, so per-step op count is the throughput."""
+        branches = [
+            partial(self._step_at_level, l) for l in range(self.n_levels)
+        ]
+        return jax.lax.switch(st.cur, branches, st, thresholds)
+
+    def _step_at_level(self, cur: int, st: _WorkState, thresholds) -> _WorkState:
         block, W, L = self.block, self.width, self.n_levels
-        blk = jax.lax.dynamic_index_in_dim(st.in_cols, cur, keepdims=False)
 
         # --- Next (scan one entry per live row) -------------------------
-        keys = jax.lax.dynamic_index_in_dim(blk, cur, keepdims=False)
+        blk = st.in_cols[cur]
+        keys = blk[cur]
         state = ScanState(
-            cursor=jax.lax.dynamic_index_in_dim(st.sc_cursor, cur, keepdims=False),
-            end=jax.lax.dynamic_index_in_dim(st.sc_end, cur, keepdims=False),
-            sel=jax.lax.dynamic_index_in_dim(st.sc_sel, cur, keepdims=False),
-            count=jax.lax.dynamic_index_in_dim(st.sc_count, cur, keepdims=False),
+            cursor=st.sc_cursor[cur],
+            end=st.sc_end[cur],
+            sel=st.sc_sel[cur],
+            count=st.sc_count[cur],
         )
-        branches = [
-            partial(lambda tbl, op: scan_next(tbl, op[0], op[1]), t)
-            for t in self.tables
-        ]
-        res = jax.lax.switch(cur, branches, (keys, state))
+        res = scan_next(self.tables[cur], keys, state)
 
-        sc_cursor = jax.lax.dynamic_update_index_in_dim(
-            st.sc_cursor, res.state.cursor, cur, 0
-        )
-        sc_end = jax.lax.dynamic_update_index_in_dim(st.sc_end, res.state.end, cur, 0)
-        sc_sel = jax.lax.dynamic_update_index_in_dim(st.sc_sel, res.state.sel, cur, 0)
-        sc_count = jax.lax.dynamic_update_index_in_dim(
-            st.sc_count, res.state.count, cur, 0
-        )
+        sc_cursor = st.sc_cursor.at[cur].set(res.state.cursor)
+        sc_end = st.sc_end.at[cur].set(res.state.end)
+        sc_sel = st.sc_sel.at[cur].set(res.state.sel)
+        sc_count = st.sc_count.at[cur].set(res.state.count)
 
         # --- build the result chunk (Slice + GatherResult) --------------
         # Two output columns at n_joins + 2*cur(+1), written at the matched
@@ -257,21 +258,17 @@ class JoinPipeline:
             pstate = st.pstate
         else:
             cache = comp.CompactorState(
-                cache_cols=jax.lax.dynamic_index_in_dim(
-                    st.pstate.cache_cols, cur, keepdims=False
-                ),
-                cache_count=jax.lax.dynamic_index_in_dim(
-                    st.pstate.cache_count, cur, keepdims=False
-                ),
+                cache_cols=st.pstate.cache_cols[cur],
+                cache_count=st.pstate.cache_count[cur],
             )
-            thr = jnp.take(thresholds, cur)
+            thr = thresholds[cur]
             emitted, new_cache = comp.compact(cache, result_chunk, thr)
             pstate = st.pstate._replace(
-                cache_cols=jax.lax.dynamic_update_index_in_dim(
-                    st.pstate.cache_cols, new_cache.cache_cols, cur, 0
+                cache_cols=st.pstate.cache_cols.at[cur].set(
+                    new_cache.cache_cols
                 ),
-                cache_count=jax.lax.dynamic_update_index_in_dim(
-                    st.pstate.cache_count, new_cache.cache_count, cur, 0
+                cache_count=st.pstate.cache_count.at[cur].set(
+                    new_cache.cache_count
                 ),
             )
 
@@ -281,74 +278,42 @@ class JoinPipeline:
             occupancy=pstate.occupancy.at[cur, emitted.count].add(1)
         )
 
-        # --- route the emitted chunk ------------------------------------
         has_rows = emitted.count > 0
-        is_final = cur == L - 1
-        descend = has_rows & ~is_final
 
-        collected = self._collect(pstate, emitted)
-        pstate = jax.tree.map(
-            lambda new, old: jnp.where(has_rows & is_final, new, old),
-            collected,
-            pstate,
-        )
-
-        # Descend: densify the emitted chunk into level cur+1 and probe it.
-        nxt = jnp.minimum(cur + 1, L - 1)
-        dense = gather_rows(emitted)  # [W, block]
-        nxt_keys = jax.lax.dynamic_index_in_dim(dense, nxt, keepdims=False)
-        probe_branches = [
-            partial(
-                lambda l, op: self._probe_level(l, op[0], op[1]), l
+        if cur == L - 1:
+            # --- final level: collect, stay ------------------------------
+            collected = self._collect(pstate, emitted)
+            pstate = jax.tree.map(
+                lambda new, old: jnp.where(has_rows, new, old),
+                collected,
+                pstate,
             )
-            for l in range(L)
-        ]
-        pstate_scan = jax.lax.switch(nxt, probe_branches, (nxt_keys, emitted.count))
+            return st._replace(
+                sc_cursor=sc_cursor,
+                sc_end=sc_end,
+                sc_sel=sc_sel,
+                sc_count=sc_count,
+                pstate=pstate,
+            )
 
-        def upd(stacked, new, old_row):
-            row = jnp.where(descend, new, old_row)
-            return jax.lax.dynamic_update_index_in_dim(stacked, row, nxt, 0)
+        # --- descend: densify the emitted chunk into level cur+1 --------
+        nxt = cur + 1
+        dense = gather_rows(emitted)  # [W, block]
+        scan_n = self._probe_level(nxt, dense[nxt], emitted.count)
 
-        in_cols = upd(
-            st.in_cols,
-            dense,
-            jax.lax.dynamic_index_in_dim(st.in_cols, nxt, keepdims=False),
-        )
-        in_count = upd(
-            st.in_count,
-            emitted.count,
-            jax.lax.dynamic_index_in_dim(st.in_count, nxt, keepdims=False),
-        )
-        sc_cursor = upd(
-            sc_cursor,
-            pstate_scan.cursor,
-            jax.lax.dynamic_index_in_dim(sc_cursor, nxt, keepdims=False),
-        )
-        sc_end = upd(
-            sc_end,
-            pstate_scan.end,
-            jax.lax.dynamic_index_in_dim(sc_end, nxt, keepdims=False),
-        )
-        sc_sel = upd(
-            sc_sel,
-            pstate_scan.sel,
-            jax.lax.dynamic_index_in_dim(sc_sel, nxt, keepdims=False),
-        )
-        sc_count = upd(
-            sc_count,
-            pstate_scan.count,
-            jax.lax.dynamic_index_in_dim(sc_count, nxt, keepdims=False),
-        )
+        def upd(stacked, new):
+            return stacked.at[nxt].set(
+                jnp.where(has_rows, new, stacked[nxt])
+            )
 
-        new_cur = jnp.where(descend, cur + 1, cur).astype(jnp.int32)
         return _WorkState(
-            cur=new_cur,
-            in_cols=in_cols,
-            in_count=in_count,
-            sc_cursor=sc_cursor,
-            sc_end=sc_end,
-            sc_sel=sc_sel,
-            sc_count=sc_count,
+            cur=jnp.where(has_rows, cur + 1, cur).astype(jnp.int32),
+            in_cols=upd(st.in_cols, dense),
+            in_count=upd(st.in_count, emitted.count),
+            sc_cursor=upd(sc_cursor, scan_n.cursor),
+            sc_end=upd(sc_end, scan_n.end),
+            sc_sel=upd(sc_sel, scan_n.sel),
+            sc_count=upd(sc_count, scan_n.count),
             pstate=pstate,
         )
 
