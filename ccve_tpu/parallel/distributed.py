@@ -171,7 +171,10 @@ def _pack_partitions(keys, payloads, parts, n_parts, kind, mesh):
         raise ValueError(f"unknown table kind {kind!r}")
 
     if mesh is not None:
-        sharding = NamedSharding(mesh, P(AXIS))
+        # 1D join mesh: shard over AXIS. 2D (dcn, ici) mesh: the leading
+        # partition axis splits over BOTH axes — partition p lives on
+        # device (p // ici_size, p % ici_size), matching _owner_hier.
+        sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         arrays = tuple(jax.device_put(a, sharding) for a in arrays)
     return PartitionedTables(kind=kind, arrays=arrays, max_bound=int(bound), n_parts=n_parts)
 
@@ -543,6 +546,199 @@ def dist_bulk_count_ring(
             jnp.ones((), jnp.float32),  # ring visits all: skew N/A
             jnp.zeros((), bool),  # no shuffle capacity to overflow
         )
+
+    f = jax.jit(
+        jax.shard_map(
+            spmd, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(), P(), P(), P()),
+        )
+    )
+    count, chks, skew, overflow = f(table_leaves, probe_sharded)
+    return DistResult(
+        count=count, payload_checksums=chks, skew=skew, overflow=overflow
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (multi-host) tier: 2D (dcn, ici) mesh
+# ---------------------------------------------------------------------------
+
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
+
+
+def make_join_mesh_2d(
+    n_hosts: int, chips_per_host: int, axes=(DCN_AXIS, ICI_AXIS)
+) -> Mesh:
+    """A (hosts × chips-per-host) mesh: the leading axis crosses DCN (or
+    stands in for it on a virtual CPU mesh), the trailing axis rides ICI.
+    Partition p of a P = n_hosts*chips_per_host–way partitioning lives on
+    device (p // chips_per_host, p % chips_per_host)."""
+    devs = jax.devices()
+    need = n_hosts * chips_per_host
+    if len(devs) < need:
+        raise ValueError(
+            f"need {need} devices ({n_hosts}x{chips_per_host}) but only "
+            f"{len(devs)} present"
+        )
+    return Mesh(np.array(devs[:need]).reshape(n_hosts, chips_per_host), axes)
+
+
+def _route_one_hop(vals: jax.Array, dest: jax.Array, n_dest: int, axis: str,
+                   cap: int):
+    """Route int64 `vals` to shard `dest` along mesh `axis` with one
+    all_to_all of a [n_dest, cap] grid (-2 = empty slot). Returns
+    (received flat values, reverse-routing state, overflow)."""
+    n = vals.shape[0]
+    order = jnp.argsort(dest, stable=True)
+    dest_sorted = jnp.take(dest, order)
+    vals_sorted = jnp.take(vals, order)
+    counts = jnp.zeros(n_dest, jnp.int32).at[dest].add(1)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offs, dest_sorted)
+    overflow = jnp.any(counts > cap)
+    safe_pos = jnp.where(pos < cap, pos, cap - 1)
+    send = jnp.full((n_dest, cap), -2, jnp.int64)
+    send = send.at[dest_sorted, safe_pos].set(vals_sorted)
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    state = (dest_sorted, safe_pos, inv)
+    return recv.reshape(-1), state, overflow
+
+
+def _route_back_one_hop(stats: Sequence[jax.Array], state, n_dest: int,
+                        axis: str):
+    """Reverse of `_route_one_hop` for per-received-value stat arrays."""
+    dest_sorted, safe_pos, inv = state
+    out = []
+    for s in stats:
+        grid = s.reshape(n_dest, -1)
+        back = jax.lax.all_to_all(grid, axis, split_axis=0, concat_axis=0)
+        picked = back[dest_sorted, safe_pos]
+        out.append(jnp.take(picked, inv))
+    return out
+
+
+def _hier_level_stats(table_arrays, ptables: PartitionedTables, keys,
+                      n_hosts: int, n_ici: int, caps):
+    """Three-hop hierarchical shuffle: keys cross DCN once, aggregated
+    [D, capB] grids instead of P-1 fine-grained messages.
+
+      hop A (ici): to local chip j = dest_host % I  (aggregation stage)
+      hop B (dcn): to the destination host
+      hop C (ici): to the owner chip i = owner % I
+
+    The final owner is recomputed from the key at every hop (the key IS
+    the routing metadata); dead keys (-2) spread round-robin. Returns
+    (mult, psum, owner histogram, overflow) like `_shuffle_level_stats`."""
+    P_ = n_hosts * n_ici
+    capA, capB, capC = caps
+
+    def owner_of(k):
+        o = _owner_jnp(k, P_)
+        dead = k == -2
+        rr = (
+            jnp.arange(k.shape[0], dtype=jnp.int32) % P_
+        )
+        return jnp.where(dead, rr, o)
+
+    owner0 = owner_of(keys)
+    hist = jnp.zeros(P_, jnp.int64).at[owner0].add(1)
+
+    kA, stA, ovA = _route_one_hop(
+        keys, (owner0 // n_ici) % n_ici, n_ici, ICI_AXIS, capA
+    )
+    oA = owner_of(kA)
+    kB, stB, ovB = _route_one_hop(kA, oA // n_ici, n_hosts, DCN_AXIS, capB)
+    oB = owner_of(kB)
+    kC, stC, ovC = _route_one_hop(kB, oB % n_ici, n_ici, ICI_AXIS, capC)
+
+    local = ptables.local_table(table_arrays)
+    stats = match_stats(local, kC)
+
+    mB, pB = _route_back_one_hop(
+        [stats.mult.astype(jnp.int64), stats.psum], stC, n_ici, ICI_AXIS
+    )
+    mA, pA = _route_back_one_hop([mB, pB], stB, n_hosts, DCN_AXIS)
+    mult, psum = _route_back_one_hop([mA, pA], stA, n_ici, ICI_AXIS)
+    overflow = ovA | ovB | ovC
+    return mult.astype(jnp.int32), psum, hist, overflow
+
+
+def dist_bulk_count_hier(
+    mesh: Mesh,
+    ptables: Sequence[PartitionedTables],
+    probe_rows: np.ndarray | jax.Array,
+    cap_slack: float = 2.0,
+) -> DistResult:
+    """Distributed N-way join count over a 2D (dcn, ici) mesh with the
+    HIERARCHICAL radix shuffle: each probe key crosses the slow DCN axis
+    exactly once, inside a host-aggregated [n_hosts, cap] grid, with the
+    fine-grained owner routing kept on ICI hops before and after. The
+    flat `dist_bulk_count` all_to_all sends P-1 per-chip messages of
+    which (P - I) cross DCN individually; here DCN sees D-1 aggregated
+    messages per chip. (Scaling-book recipe: lay shardings out so
+    collectives ride ICI, aggregate what must cross DCN.) Tables must be
+    partitioned with `mesh=the same 2D mesh` (partition p on device
+    (p // I, p % I))."""
+    assert tuple(mesh.axis_names) == (DCN_AXIS, ICI_AXIS), mesh.axis_names
+    n_hosts, n_ici = mesh.devices.shape
+    n_parts = n_hosts * n_ici
+    probe = jnp.asarray(probe_rows, jnp.int64)
+    n, n_joins = probe.shape
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate(
+            [probe, jnp.full((pad, n_joins), -2, jnp.int64)]
+        )
+
+    def capf(avg):
+        return max(int(avg * cap_slack) + 8, 16)
+
+    # hop A: per source chip, keys for local-chip j ~= per_dev * ceil(D/I)/D
+    capA = capf(per_dev * (-(-n_hosts // n_ici)) / n_hosts)
+    nA = n_ici * capA  # values held after hop A
+    capB = capf(nA / n_hosts)
+    nB = n_hosts * capB
+    capC = capf(nB / n_ici)
+
+    probe_sharded = jax.device_put(
+        probe, NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS), None))
+    )
+    table_leaves = tuple(pt.arrays for pt in ptables)
+    in_specs = (
+        jax.tree.map(lambda _: P((DCN_AXIS, ICI_AXIS)), table_leaves),
+        P((DCN_AXIS, ICI_AXIS), None),
+    )
+
+    def spmd(table_leaves, probe_local):
+        mults, psums = [], []
+        hist = jnp.zeros(n_parts, jnp.int64)
+        over = jnp.zeros((), jnp.int32)
+        for l, pt in enumerate(ptables):
+            arrs = tuple(a[0] for a in table_leaves[l])
+            m, s, h, o = _hier_level_stats(
+                arrs, pt, probe_local[:, l], n_hosts, n_ici,
+                (capA, capB, capC),
+            )
+            mults.append(m.astype(jnp.int64))
+            psums.append(s)
+            hist = hist + h
+            over = jnp.maximum(over, o.astype(jnp.int32))
+        prod = mults[0]
+        for m in mults[1:]:
+            prod = prod * m
+        axes = (DCN_AXIS, ICI_AXIS)
+        count = jax.lax.psum(jnp.sum(prod), axes)
+        chks = []
+        for l in range(len(ptables)):
+            others = jnp.where(mults[l] > 0, prod // mults[l], 0)
+            chks.append(jax.lax.psum(jnp.sum(psums[l] * others), axes))
+        ghist = jax.lax.psum(hist, axes).astype(jnp.float32)
+        skew = ghist.max() / jnp.maximum(ghist.mean(), 1.0)
+        overflow = jax.lax.pmax(jax.lax.pmax(over, DCN_AXIS), ICI_AXIS) > 0
+        return count, jnp.stack(chks), skew.astype(jnp.float32), overflow
 
     f = jax.jit(
         jax.shard_map(

@@ -12,7 +12,8 @@ from ccve_tpu.exec.pipeline import JoinPipeline
 from ccve_tpu.ops.hash_table import build_lp
 from ccve_tpu.core.datagen import gen_rhs_table
 
-N, RHS, JOINS, BLOCK = 200_000, 4096, 2, 256
+import os
+N, RHS, JOINS, BLOCK = 200_000, 4096, 2, int(os.environ.get('BLOCK', 256))
 keys, payloads = gen_rhs_table(RHS, 2)
 probe = gen_probe_table(N, JOINS, RHS)
 tables = [build_lp(keys, payloads) for _ in range(JOINS)]

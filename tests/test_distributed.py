@@ -170,3 +170,53 @@ def test_dist_hot_split_multilevel_mixed():
     for l in range(n_joins):
         col = n_joins + 2 * l + 1
         assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (2, 2)])
+@pytest.mark.parametrize("kind", ["lp", "sorted"])
+def test_dist_hier_matches_oracle(shape, kind):
+    """Hierarchical (dcn, ici) 3-hop shuffle vs the oracle — keys cross
+    the dcn axis exactly once in host-aggregated grids."""
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_hier,
+        make_join_mesh_2d,
+        partition_tables,
+    )
+
+    D, I = shape
+    mesh = make_join_mesh_2d(D, I)
+    n_parts = D * I
+    n_joins, lhs, rhs = 2, 600, 64
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    ptables = [
+        partition_tables(keys, payloads, n_parts, kind, mesh)
+        for _ in range(n_joins)
+    ]
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.FULL
+    )
+    res = dist_bulk_count_hier(mesh, ptables, probe, cap_slack=8.0)
+    assert not bool(res.overflow)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+def test_dist_hier_overflow_detected():
+    """Tight caps must flag overflow rather than silently drop keys."""
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_hier,
+        make_join_mesh_2d,
+        partition_tables,
+    )
+
+    mesh = make_join_mesh_2d(2, 4)
+    rhs = 64
+    keys, payloads = gen_rhs_table(rhs, 2)
+    # every probe is the same key: one owner partition swamps its hops
+    probe = np.full((400, 1), int(keys[3]), np.int64)
+    ptables = [partition_tables(keys, payloads, 8, "lp", mesh)]
+    res = dist_bulk_count_hier(mesh, ptables, probe, cap_slack=1.1)
+    assert bool(res.overflow)
