@@ -41,7 +41,7 @@ from ccve_tpu.exec.bulk import MatchStats
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["keys", "payloads"],
-    meta_fields=["pack", "pack32"],
+    meta_fields=["pack", "pack32", "max_mult"],
 )
 @dataclasses.dataclass(frozen=True)
 class SortedTable:
@@ -50,12 +50,15 @@ class SortedTable:
     `pack` (static aux): (key_base, key_bits, pay_bits) when the build's
     key range and payload magnitude allow packing (key', tag, payload)
     into ONE int64 sort operand — else None. Computed at build time on
-    the host; the probe side is range-checked on device."""
+    the host; the probe side is range-checked on device. `max_mult` is
+    the largest key multiplicity (the reference's chunk_factor bound,
+    chaining_ht.cpp:15-26) — the static fan-out of `sorted_expand`."""
 
     keys: jax.Array  # int64[m], ascending
     payloads: jax.Array  # int64[m], aligned with keys
     pack: tuple | None = None
     pack32: tuple | None = None
+    max_mult: int = 1
 
 
 def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
@@ -92,11 +95,17 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
     else:
         payloads = np.ascontiguousarray(payloads, dtype=np.int64)
     order = np.argsort(keys, kind="stable")
+    if keys.size:
+        _, counts = np.unique(keys, return_counts=True)
+        max_mult = int(counts.max())
+    else:
+        max_mult = 1
     return SortedTable(
         keys=jax.device_put(jnp.asarray(keys[order]), device),
         payloads=jax.device_put(jnp.asarray(payloads[order]), device),
         pack=_pack_meta(keys, payloads),
         pack32=_pack32_meta(keys),
+        max_mult=max_mult,
     )
 
 
@@ -384,3 +393,81 @@ def sorted_match_totals(
     mult = jnp.where(is_build, 0, c - base_c)
     psum = jnp.where(is_build, 0, pc - base_p)
     return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
+
+
+def sorted_expand(
+    table: SortedTable, probe_keys: jax.Array, capacity: int
+):
+    """Materialize ALL matched (probe_row, build_key, build_payload)
+    triples of one join level — gather-free. The reference materializes
+    through per-row payload gathers (GatherResult, chaining_ht.cpp:126-
+    136); on TPU the same output falls out of the merged sorted stream:
+
+      1. ONE stable 3-operand sort of build∪probe (key, payload, row).
+      2. Per-run build ordinals / per-probe build counts via the same
+         prefix scans as `sorted_match_stats`.
+      3. For f = 1..max_mult (static): the f-th build's payload
+         propagates to every probe of its run with one segmented
+         copy-last scan; a probe with >= f builds emits one triple.
+      4. ONE validity-keyed sort compacts the F*(m+n) candidates to the
+         front; the static `capacity` prefix is returned.
+
+    Work is O(F * (m+n) log) with NO random-access gathers and no
+    intermediate wider than F*(m+n) (vs the candidate-grid expansion's
+    per-level probe of every slot). Returns (rows i32[capacity],
+    keys i64[capacity], payloads i64[capacity], total_matches i64);
+    slots past the match count carry row == -1. `capacity` bounds the
+    RETURNED rows only — total_matches reports overflow."""
+    m = table.keys.shape[0]
+    n = probe_keys.shape[0]
+    F = max(int(table.max_mult), 1)
+
+    keys = jnp.concatenate([table.keys, probe_keys.astype(jnp.int64)])
+    pay = jnp.concatenate([table.payloads, jnp.zeros(n, jnp.int64)])
+    row = jnp.concatenate(
+        [jnp.full(m, -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+    sk, spay, srow = jax.lax.sort(
+        [keys, pay, row], num_keys=1, is_stable=True
+    )
+
+    is_build = srow < 0
+    ib = is_build.astype(jnp.int32)
+    c = jnp.cumsum(ib)
+    run_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    base_c = _segment_base(run_start, c - ib, monotone=True)
+    # builds: 1-based in-run ordinal; probes: the run's build count
+    # (builds precede probes at equal keys: table first + stable sort)
+    ordv = c - base_c
+    total = jnp.sum(jnp.where(is_build, 0, ordv).astype(jnp.int64))
+
+    rows_f, keys_f, pays_f, valid_f = [], [], [], []
+    for f in range(1, F + 1):
+        src = is_build & (ordv == f)
+        pay_f = _segment_base(src, spay, monotone=False)
+        valid = (~is_build) & (ordv >= f)
+        rows_f.append(srow)
+        keys_f.append(sk)
+        pays_f.append(pay_f)
+        valid_f.append(valid)
+
+    flag = jnp.concatenate(
+        [(~v).astype(jnp.int32) for v in valid_f]
+    )
+    rows = jnp.concatenate(rows_f)
+    mkeys = jnp.concatenate(keys_f)
+    mpays = jnp.concatenate(pays_f)
+    _, rows_s, keys_s, pays_s = jax.lax.sort(
+        [flag, rows, mkeys, mpays], num_keys=1, is_stable=True
+    )
+    valid_n = jnp.sum(1 - flag)
+    pad = max(capacity - rows.shape[0], 0)
+    if pad:
+        rows_s = jnp.concatenate([rows_s, jnp.full(pad, -1, jnp.int32)])
+        keys_s = jnp.concatenate([keys_s, jnp.zeros(pad, jnp.int64)])
+        pays_s = jnp.concatenate([pays_s, jnp.zeros(pad, jnp.int64)])
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    out_rows = jnp.where(idx < valid_n, rows_s[:capacity], -1)
+    out_keys = jnp.where(idx < valid_n, keys_s[:capacity], 0)
+    out_pays = jnp.where(idx < valid_n, pays_s[:capacity], 0)
+    return out_rows, out_keys, out_pays, total

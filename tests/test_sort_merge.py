@@ -132,3 +132,39 @@ def test_pack32_padded_pipeline(probe_dtype):
         c, p = sorted_match_totals(st, jnp.asarray(probe), use_kernel=True)
     assert int(c) == int(ref_c)
     assert int(p) == int(ref_p)
+
+
+def test_sorted_expand_matches_bruteforce():
+    """Gather-free materialization: exact multiset of matched
+    (probe_row, build_key, build_payload) triples, overflow reported."""
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    rng = np.random.default_rng(5)
+    keys = np.repeat(np.arange(40, dtype=np.int64) * 3, 3)  # mult 3
+    payloads = np.arange(keys.size, dtype=np.int64) + 500
+    st = build_sorted(keys, payloads)
+    assert st.max_mult == 3
+    probe = rng.integers(0, 125, 300).astype(np.int64)
+
+    expected = sorted(
+        (i, int(k), int(p))
+        for i, pk in enumerate(probe)
+        for k, p in zip(keys, payloads)
+        if k == pk
+    )
+
+    cap = 4096
+    rows, mkeys, mpays, total = sorted_expand(st, jnp.asarray(probe), cap)
+    rows, mkeys, mpays = map(np.asarray, (rows, mkeys, mpays))
+    got = sorted(
+        (int(r), int(k), int(p))
+        for r, k, p in zip(rows, mkeys, mpays)
+        if r >= 0
+    )
+    assert int(total) == len(expected)
+    assert got == expected
+
+    # tight capacity: truncated but correctly reported
+    rows2, _, _, total2 = sorted_expand(st, jnp.asarray(probe), 8)
+    assert int(total2) == len(expected)
+    assert int((np.asarray(rows2) >= 0).sum()) == 8
