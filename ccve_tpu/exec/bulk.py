@@ -282,6 +282,19 @@ def _expand(table, keys):
     return csr_expand_grid(table, keys)
 
 
+def _expand_sorted(table, keys):
+    """Per-level expansion for SortedTable via the gather-free
+    `sorted_expand` (ops/sort_merge.py): returns (row_of, keys, pays)
+    dense arrays of the n_keep matches. Capacity is the static worst
+    case n * max_mult — the same bound the reference's chunk_factor
+    gives its chains (chaining_ht.cpp:15-26)."""
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    cap = int(keys.shape[0]) * max(int(table.max_mult), 1)
+    rows, ck, cp, total = sorted_expand(table, keys, cap)
+    return rows, ck, cp, int(total)
+
+
 def bulk_materialize(
     tables: Sequence[LPTable | CSRTable],
     probe_rows: np.ndarray,
@@ -302,20 +315,29 @@ def bulk_materialize(
     appended = jnp.zeros((0, n), jnp.int64)
     probe_cols = jnp.asarray(probe_rows.T)
 
+    from ccve_tpu.ops.sort_merge import SortedTable
+
     for l, table in enumerate(tables):
         keys = jnp.take(probe_cols[l], src)
-        grid = _expand(table, keys)  # match [m, w]
-        m, w = grid.match.shape
-        flat_match = grid.match.reshape(-1)
-        # Dense compaction of surviving (row, candidate) pairs.
-        order = jnp.argsort(~flat_match, stable=True)  # matches first
-        n_keep = int(jnp.sum(flat_match))
-        keep = order[:n_keep]
-        row_of = keep // w
+        if isinstance(table, SortedTable):
+            # gather-free path: segmented-propagation expansion
+            rows_d, ck_d, cp_d, n_keep = _expand_sorted(table, keys)
+            row_of = rows_d[:n_keep]
+            ck = ck_d[:n_keep]
+            cp = cp_d[:n_keep]
+        else:
+            grid = _expand(table, keys)  # match [m, w]
+            m, w = grid.match.shape
+            flat_match = grid.match.reshape(-1)
+            # Dense compaction of surviving (row, candidate) pairs.
+            order = jnp.argsort(~flat_match, stable=True)  # matches first
+            n_keep = int(jnp.sum(flat_match))
+            keep = order[:n_keep]
+            row_of = keep // w
+            ck = grid.keys.reshape(-1)[keep]
+            cp = grid.payloads.reshape(-1)[keep]
         src = jnp.take(src, row_of)
         appended = jnp.take(appended, row_of, axis=1)
-        ck = grid.keys.reshape(-1)[keep]
-        cp = grid.payloads.reshape(-1)[keep]
         if payload_mode is PayloadMode.REFERENCE:
             new_cols = jnp.stack([jnp.zeros_like(ck), ck])
         else:

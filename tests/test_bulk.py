@@ -17,7 +17,12 @@ from ccve_tpu.ops.hash_table import build_csr, build_lp
 def _workload(n_joins, lhs, rhs, chunk_factor, kind):
     probe = gen_probe_table(lhs, n_joins, rhs)
     keys, payloads = gen_rhs_table(rhs, chunk_factor)
-    builder = build_lp if kind == "lp" else build_csr
+    if kind == "sorted":
+        from ccve_tpu.ops.sort_merge import build_sorted
+
+        builder = build_sorted
+    else:
+        builder = build_lp if kind == "lp" else build_csr
     tables = [builder(keys, payloads) for _ in range(n_joins)]
     oracles = [OracleBuildTable(keys, payloads) for _ in range(n_joins)]
     return probe, tables, oracles
@@ -43,7 +48,7 @@ def test_bulk_count_tiled():
     assert int(res.count) == expected.shape[0]
 
 
-@pytest.mark.parametrize("kind", ["lp", "csr"])
+@pytest.mark.parametrize("kind", ["lp", "csr", "sorted"])
 def test_bulk_materialize_matches_oracle(kind):
     probe, tables, oracles = _workload(2, 300, 48, 2, kind)
     for mode in (PayloadMode.FULL, PayloadMode.REFERENCE):
