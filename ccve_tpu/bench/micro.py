@@ -52,15 +52,26 @@ class VariantResult:
         return self.seconds * 1e9 / self.n_keys
 
 
+def _sync(out):
+    """Force completion. block_until_ready alone returns early through
+    the axon relay (PERF_NOTES.md "Environment"); a 1-element host
+    readback of each leaf is the only sync that actually waits. Timings
+    therefore include one relay round trip — identical for every
+    variant, so the cross-variant comparison stands."""
+    for leaf in jax.tree.leaves(out):
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+    return out
+
+
 def _time(fn, warmup=1, reps=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     best = float("inf")
     out = None
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
