@@ -28,13 +28,24 @@ import numpy as np
 from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
 
 
+def _sync(out):
+    # block_until_ready returns early through the axon relay; a 1-element
+    # readback is the only sync that waits (PERF_NOTES.md). All leaves of
+    # one jitted call complete together, so ONE readback suffices — each
+    # extra leaf would cost a full ~15-30 ms relay round trip.
+    import numpy as _np
+
+    leaf = jax.tree.leaves(out)[0]
+    _np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+    return out
+
+
 def _timed(fn, *args, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -158,7 +169,7 @@ def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
     from ccve_tpu.core.datagen import gen_rhs_table, gen_zipf_keys
     from ccve_tpu.ops.aggregate import join_dense_aggregate, partition_histogram
     from ccve_tpu.ops.sort_merge import build_sorted
-    from ccve_tpu.ops.sort import radix_sort_pairs
+    from ccve_tpu.ops.sort import xla_sort_pairs
 
     keys, payloads = gen_rhs_table(domain, 1)  # keys == arange(domain)
     table = build_sorted(keys, payloads)
@@ -172,7 +183,12 @@ def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
         # scatters (ops/aggregate.join_dense_aggregate; equivalence with
         # the scatter path is asserted in tests/test_aggregate.py)
         agg, total = join_dense_aggregate(table, p, domain)
-        sk, sv = radix_sort_pairs(agg.sum, agg.keys, bits=48)
+        # ORDER BY uses the engine's fastest sort for this size: XLA's
+        # network sort (~1 ms at 100k pairs). The LSD radix component
+        # (ops/sort.py) is 6 counting passes whose rank one-hots and
+        # permutation scatters cost ~110 ms here (scripts/probe_config4)
+        # — radix only pays when digits are reused across queries.
+        sk, sv = xla_sort_pairs(agg.sum, agg.keys)
         return total, agg.n_groups, sk[-1], sv[-1]
 
     best, out = _timed(run, probe)

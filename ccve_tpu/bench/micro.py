@@ -55,11 +55,13 @@ class VariantResult:
 def _sync(out):
     """Force completion. block_until_ready alone returns early through
     the axon relay (PERF_NOTES.md "Environment"); a 1-element host
-    readback of each leaf is the only sync that actually waits. Timings
-    therefore include one relay round trip — identical for every
-    variant, so the cross-variant comparison stands."""
-    for leaf in jax.tree.leaves(out):
-        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+    readback is the only sync that actually waits — and ONE leaf is
+    enough, since a jitted call's outputs complete together (each extra
+    leaf costs a full relay round trip). Timings include one relay
+    round trip — identical for every variant, so the cross-variant
+    comparison stands."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
     return out
 
 
