@@ -65,7 +65,12 @@ def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merg
         "hash_csr": build_csr,
     }[engine]
     table = builder(keys, payloads)
-    probe_dev = jax.device_put(jnp.asarray(probe))
+    # narrow probe column at load time (keys <= n_build < 2^31): the
+    # sort-merge pack path skips the emulated-int64 pass (bench.py does
+    # the same; scripts/probe_pack.py)
+    import numpy as _np
+
+    probe_dev = jax.device_put(jnp.asarray(probe.astype(_np.int32)))
 
     best, res = _timed(lambda p: bulk_count([table], p), probe_dev)
     expected = int((probe[:, 0] < n_build).sum())
