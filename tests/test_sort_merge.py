@@ -168,3 +168,36 @@ def test_sorted_expand_matches_bruteforce():
     rows2, _, _, total2 = sorted_expand(st, jnp.asarray(probe), 8)
     assert int(total2) == len(expected)
     assert int((np.asarray(rows2) >= 0).sum()) == 8
+
+
+@pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
+def test_pack32_out_of_range_probes(probe_dtype):
+    """Probe keys outside the build range (below kmin, above kmax,
+    extreme values) must clamp to matchless sentinels in the packed
+    kernel path — counts identical to the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops.sort_merge import sorted_match_totals
+
+    keys = (np.arange(500, dtype=np.int64) * 7) + 1000  # kmin=1000
+    payloads = np.arange(500, dtype=np.int64) + 1
+    st = build_sorted(keys, payloads)
+    rng = np.random.default_rng(3)
+    lo = np.iinfo(probe_dtype).min
+    hi = np.iinfo(probe_dtype).max
+    probe = np.concatenate(
+        [
+            rng.choice(keys, 9000),
+            np.full(200, lo),
+            np.full(200, hi),
+            np.array([999, 1000, int(keys[-1]), int(keys[-1]) + 1] * 50),
+            rng.integers(-5000, 10000, 500),
+        ]
+    ).astype(probe_dtype)
+    ref_c, ref_p = sorted_match_totals(
+        st, jnp.asarray(probe.astype(np.int64)), use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        c, p = sorted_match_totals(st, jnp.asarray(probe), use_kernel=True)
+    assert int(c) == int(ref_c)
+    assert int(p) == int(ref_p)
