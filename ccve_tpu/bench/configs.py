@@ -145,9 +145,17 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
     ).shape[0]
 
     out = {"name": "config3_four_way", "expected": expected}
-    bres = bulk_count(tables, probe)
+    # bulk operator-at-a-time on the engine's BULK table kind (sorted —
+    # the gather-free path); the executor variants below keep the
+    # chunk-pipeline table kind under test
+    from ccve_tpu.ops.sort_merge import build_sorted
+
+    st = build_sorted(keys, payloads)
+    stables = [st] * n_joins
+    bres = bulk_count(stables, probe)
     assert int(bres.count) == expected
-    best, _ = _timed(lambda p: bulk_count(tables, jnp.asarray(p)), probe)
+    probe_dev = jax.device_put(jnp.asarray(probe))
+    best, _ = _timed(lambda p: bulk_count(stables, p), probe_dev)
     out["bulk"] = {"seconds": best, "rows_per_s": lhs / best}
     for strategy in (CompactionStrategy.NONE, CompactionStrategy.FULL):
         cfg = EngineConfig(

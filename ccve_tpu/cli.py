@@ -200,12 +200,23 @@ def cmd_baseline(args) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ccve_tpu")
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="run on the host CPU backend instead of the TPU "
+        "(the env var JAX_PLATFORMS is ignored in this container; "
+        "this flag applies jax.config.update before backend init)",
+    )
     sub = ap.add_subparsers(required=True)
     _add_pipeline(sub)
     _add_micro(sub)
     _add_matrix(sub)
     _add_baseline(sub)
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     return args.func(args)
 
 
