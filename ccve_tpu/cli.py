@@ -39,6 +39,13 @@ def _add_pipeline(sub):
     )
     p.add_argument("--payload", choices=["reference", "full"], default="reference")
     p.add_argument("--collect-tuples", action="store_true")
+    p.add_argument(
+        "--record-occupancy",
+        action="store_true",
+        help="record per-level chunk-occupancy histograms on device "
+        "(the ZebraProfiler data; off by default like the reference's "
+        "kEnableProfiling=0, profiler.h:170)",
+    )
     p.add_argument("--segment-chunks", type=int, default=64)
     p.set_defaults(func=cmd_pipeline)
 
@@ -114,6 +121,7 @@ def cmd_pipeline(args) -> int:
             PayloadMode.REFERENCE if args.payload == "reference" else PayloadMode.FULL
         ),
         collect_tuples=args.collect_tuples,
+        record_occupancy=getattr(args, "record_occupancy", False),
         tuner_segment_chunks=args.segment_chunks,
     )
     print(

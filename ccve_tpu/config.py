@@ -85,6 +85,13 @@ class EngineConfig:
     # (setting.h:31 `flag_collect_tuples`; default false there too).
     collect_tuples: bool = False
 
+    # Whether the executor records per-level emitted-chunk occupancy
+    # histograms on device (the ZebraProfiler data). The reference ships
+    # with its ZebraProfiler compiled OUT (`kEnableProfiling = 0`,
+    # profiler.h:170), so timed runs default to off here too — the
+    # histogram update is a scatter inside the latency-bound work loop.
+    record_occupancy: bool = False
+
     # DYNAMIC-strategy bandit arms (negative_feedback.hpp:172).
     threshold_arms: tuple = DEFAULT_THRESHOLD_ARMS
 

@@ -64,6 +64,16 @@ class PipelineState(NamedTuple):
     #   keyed by live-row count; recorded on device, exported by the driver)
 
 
+def _deepest_pending(sc_count: jax.Array) -> jax.Array:
+    """DFS resume point: deepest level with live scan rows, -1 if none.
+    Levels deeper than the current one are always drained (the work loop
+    only descends into a freshly probed level), so this is exactly where
+    the reference's recursion resumes."""
+    n_levels = sc_count.shape[0]
+    lvl = jnp.arange(n_levels, dtype=jnp.int32)
+    return jnp.max(jnp.where(sc_count > 0, lvl, -1)).astype(jnp.int32)
+
+
 class _WorkState(NamedTuple):
     """Per-chunk traversal state inside the work loop."""
 
@@ -274,9 +284,13 @@ class JoinPipeline:
 
         # Zebra occupancy: record the emitted chunk's live-row count for
         # this level (the histogram that shows the tiny-chunk cascade).
-        pstate = pstate._replace(
-            occupancy=pstate.occupancy.at[cur, emitted.count].add(1)
-        )
+        # Off by default — the reference compiles its ZebraProfiler out
+        # (kEnableProfiling=0, profiler.h:170) and the scatter sits inside
+        # the latency-bound work loop.
+        if self.config.record_occupancy:
+            pstate = pstate._replace(
+                occupancy=pstate.occupancy.at[cur, emitted.count].add(1)
+            )
 
         has_rows = emitted.count > 0
 
@@ -289,6 +303,7 @@ class JoinPipeline:
                 pstate,
             )
             return st._replace(
+                cur=_deepest_pending(sc_count),
                 sc_cursor=sc_cursor,
                 sc_end=sc_end,
                 sc_sel=sc_sel,
@@ -306,32 +321,33 @@ class JoinPipeline:
                 jnp.where(has_rows, new, stacked[nxt])
             )
 
+        sc_count = upd(sc_count, scan_n.count)
         return _WorkState(
-            cur=jnp.where(has_rows, cur + 1, cur).astype(jnp.int32),
+            cur=_deepest_pending(sc_count),
             in_cols=upd(st.in_cols, dense),
             in_count=upd(st.in_count, emitted.count),
             sc_cursor=upd(sc_cursor, scan_n.cursor),
             sc_end=upd(sc_end, scan_n.end),
             sc_sel=upd(sc_sel, scan_n.sel),
-            sc_count=upd(sc_count, scan_n.count),
+            sc_count=sc_count,
             pstate=pstate,
         )
 
     def _work_loop(self, st: _WorkState, thresholds) -> _WorkState:
-        """Depth-first drain: step while the current level has pending
-        matches, pop when drained, exit when level 0 pops."""
+        """Depth-first drain, pop-free: `cur` is maintained as the DEEPEST
+        level with pending matches (the reference's recursion always
+        resumes there, main.cpp:150-161 — levels deeper than `cur` are
+        drained by construction, so the DFS resume point IS the deepest
+        pending level). Each loop iteration performs exactly one Next;
+        drained levels never cost an iteration, unlike the previous
+        cond(step / pop) body where every drained level burned one
+        latency-bound iteration on `cur -= 1`."""
 
         def cond(s: _WorkState):
             return s.cur >= 0
 
         def body(s: _WorkState):
-            has_next = jax.lax.dynamic_index_in_dim(s.sc_count, s.cur, keepdims=False) > 0
-            return jax.lax.cond(
-                has_next,
-                lambda ss: self._step(ss, thresholds),
-                lambda ss: ss._replace(cur=ss.cur - 1),
-                s,
-            )
+            return self._step(s, thresholds)
 
         return jax.lax.while_loop(cond, body, st)
 
@@ -376,13 +392,15 @@ class JoinPipeline:
                 scan0 = self._probe_level_sel(0, cols[0], sel0, count)
             else:
                 scan0 = self._probe_level(0, cols[0], count)
+            sc_count0 = work.sc_count.at[0].set(scan0.count)
             work = work._replace(
+                cur=_deepest_pending(sc_count0),
                 in_cols=padded,
                 in_count=work.in_count.at[0].set(count),
                 sc_cursor=work.sc_cursor.at[0].set(scan0.cursor),
                 sc_end=work.sc_end.at[0].set(scan0.end),
                 sc_sel=work.sc_sel.at[0].set(scan0.sel),
-                sc_count=work.sc_count.at[0].set(scan0.count),
+                sc_count=sc_count0,
             )
             out = self._work_loop(work, thresholds)
             return out.pstate, None
@@ -414,14 +432,15 @@ class JoinPipeline:
                 nxt = level + 1
                 work = self._fresh_work(pstate)
                 scan_n = self._probe_level(nxt, flushed.cols[nxt], flushed.count)
+                sc_count_n = work.sc_count.at[nxt].set(scan_n.count)
                 work = work._replace(
-                    cur=jnp.asarray(nxt, jnp.int32),
+                    cur=_deepest_pending(sc_count_n),
                     in_cols=work.in_cols.at[nxt].set(flushed.cols),
                     in_count=work.in_count.at[nxt].set(flushed.count),
                     sc_cursor=work.sc_cursor.at[nxt].set(scan_n.cursor),
                     sc_end=work.sc_end.at[nxt].set(scan_n.end),
                     sc_sel=work.sc_sel.at[nxt].set(scan_n.sel),
-                    sc_count=work.sc_count.at[nxt].set(scan_n.count),
+                    sc_count=sc_count_n,
                 )
                 pstate = self._work_loop(work, thresholds).pstate
         return pstate

@@ -160,6 +160,7 @@ def test_pipeline_with_prefilter():
         strategy=CompactionStrategy.FULL,
         payload_mode=PayloadMode.FULL,
         collect_tuples=True,
+        record_occupancy=True,
     )
     probe = gen_probe_table(900, 2, 96)
     keys, payloads = gen_rhs_table(96, 2)
@@ -184,6 +185,8 @@ def test_pipeline_with_prefilter():
 
 
 def test_occupancy_exported_to_zebra(tmp_path):
+    import dataclasses
+
     from ccve_tpu.utils.profiler import ZebraProfiler
 
     ZebraProfiler.get().clear()
@@ -191,6 +194,7 @@ def test_occupancy_exported_to_zebra(tmp_path):
         n_joins=2, lhs=300, rhs=64, chunk_factor=1, table_kind="lp",
         strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.REFERENCE,
     )
+    cfg = dataclasses.replace(cfg, record_occupancy=True)
     pipe = JoinPipeline(tables, cfg, result_capacity=4096)
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
