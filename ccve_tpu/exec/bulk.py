@@ -200,15 +200,17 @@ def csr_match_stats(table: CSRTable, keys: jax.Array) -> MatchStats:
 
 
 def match_stats(table, keys: jax.Array) -> MatchStats:
+    from ccve_tpu.ops.sort_merge import SortedTable, sorted_match_stats
+
+    if isinstance(table, SortedTable):
+        # keep narrow probe columns narrow: the Pallas stats path packs
+        # i32 keys without the (slow, emulated) int64 elementwise pass
+        return sorted_match_stats(table, keys)
     keys = keys.astype(jnp.int64)  # narrow probe columns widen here
     if isinstance(table, LPTable):
         return lp_match_stats(table, keys)
     if isinstance(table, CSRTable):
         return csr_match_stats(table, keys)
-    from ccve_tpu.ops.sort_merge import SortedTable, sorted_match_stats
-
-    if isinstance(table, SortedTable):
-        return sorted_match_stats(table, keys)
     raise TypeError(f"unknown table type {type(table)}")
 
 

@@ -1,0 +1,382 @@
+"""Multi-plane hybrid sort — i32 keys + N i32 value planes through the
+same Batcher / bitonic merge-path machinery as kernels/bigsort.py.
+
+bigsort.py sorts ONE i32 plane (the count-side join needs nothing
+else). The materializing / per-probe-stats paths (ops/sort_merge.py:
+`sorted_match_stats`, `sorted_expand`) must carry cargo through the
+sort — payloads, row ids, 64-bit partial sums as (hi, lo) limb pairs —
+which today rides multi-operand int64 `jax.lax.sort`s. Here every
+compare-exchange computes its swap predicate from the KEY plane and
+applies the same select to each value plane:
+
+    take_up = is_lo & (up_key < key)          # strict: ties never swap
+    take_dn = is_hi & (dn_key > key)
+    plane'  = where(take_up, plane<<s, where(take_dn, plane>>s, plane))
+
+so a P-value sort costs ~(4+3P)/4 the vector ops of the key-only sort
+per stage, with identical stage counts and identical merge-path
+structure (the bisections run on keys only; `_merge_splits_alt` /
+`_merge_splits_two` are reused from bigsort verbatim).
+
+Sort is NOT stable: equal keys may reorder, but each value tuple stays
+attached to its key. Keys must lie strictly inside (INT32_MIN,
+INT32_MAX) — both serve as sentinels. Value planes are opaque i32
+cargo (any bit pattern, sign included).
+
+The reference's counterpart is again the AVX-512 gather machinery
+(chaining_ht.cpp:126-136 GatherResult): per-key random access the TPU
+lacks — carrying payloads through the sort IS the TPU's payload
+gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ccve_tpu.kernels import flatvec as fv
+from ccve_tpu.kernels.bigsort import (
+    I32_MAX,
+    TILE_LOG,
+    _VMEM_BIG,
+    _merge_splits_alt,
+    _merge_splits_two,
+)
+
+
+def _exchange_multi(k, vs, idx, s: int, take_of, R: int):
+    """Shared compare-exchange core: `take_of(is_lo_candidates)` masks are
+    produced by the caller from `idx`; partner pairs move as a unit."""
+    up_k = fv.shift_flat_left(k, s, R)
+    dn_k = fv.shift_flat_right(k, s, R, 0)
+    is_lo, is_hi = take_of
+    take_up = is_lo & (up_k < k)
+    take_dn = is_hi & (dn_k > k)
+    new_k = jnp.where(take_up, up_k, jnp.where(take_dn, dn_k, k))
+    new_vs = [
+        jnp.where(
+            take_up,
+            fv.shift_flat_left(v, s, R),
+            jnp.where(take_dn, fv.shift_flat_right(v, s, R, 0), v),
+        )
+        for v in vs
+    ]
+    return new_k, new_vs
+
+
+def _ce_stage_multi(k, vs, idx, p_log: int, k_log: int, R: int):
+    """Batcher stage (p, k) — the mask algebra of bigsort._ce_stage with
+    predicate-driven pair movement instead of min/max."""
+    s = 1 << k_log
+    m2p = idx & ((1 << (p_log + 1)) - 1)
+    if k_log == p_log:
+        is_lo = m2p < s
+        is_hi = ~is_lo
+    else:
+        bitk = (idx & s) != 0
+        is_lo = bitk & (m2p < (1 << (p_log + 1)) - s)
+        is_hi = (~bitk) & (m2p >= s)
+    return _exchange_multi(k, vs, idx, s, (is_lo, is_hi), R)
+
+
+def _bitonic_stage_multi(k, vs, idx, k_log: int, R: int):
+    """Bitonic halver stage at stride 2^k_log (bigsort._bitonic_stage)."""
+    s = 1 << k_log
+    is_lo = (idx & s) == 0
+    return _exchange_multi(k, vs, idx, s, (is_lo, ~is_lo), R)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1+2: in-VMEM from-scratch Batcher per tile
+# ---------------------------------------------------------------------------
+
+
+def _make_local_kernel_multi(tile_log: int, n_vals: int, alt: bool):
+    """Full Batcher sort of each 2^tile_log tile, key + value planes.
+    `alt`: odd tiles complemented (keys only) on entry/exit so they land
+    stored DESCENDING for the bitonic merge levels (bigsort's scheme)."""
+    R = 1 << (tile_log - 7)
+
+    def kernel(*refs):
+        k_ref = refs[0]
+        v_refs = refs[1 : 1 + n_vals]
+        o_k = refs[1 + n_vals]
+        o_vs = refs[2 + n_vals : 2 + 2 * n_vals]
+        k = k_ref[:]
+        m = -(pl.program_id(0) & 1)
+        if alt:
+            k = k ^ m
+        vs = [r[:] for r in v_refs]
+        idx = fv.flat_index(R)
+        for p_log in range(0, tile_log):
+            for k_log in range(p_log, -1, -1):
+                k, vs = _ce_stage_multi(k, vs, idx, p_log, k_log, R)
+        if alt:
+            k = k ^ m
+        o_k[:] = k
+        for o, v in zip(o_vs, vs):
+            o[:] = v
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: bitonic lower-half merge-path kernel, multi-plane
+# ---------------------------------------------------------------------------
+
+
+def _make_merge_kernel_multi(
+    tile_log: int, rows: int, n_vals: int, n_real: int | None = None
+):
+    """bigsort._make_bitonic_merge_kernel with value planes: windows of
+    every plane are DMA'd with the key windows' offsets (identical
+    layout), the element-aligned min-pairing becomes a predicate select,
+    and the halver stages move pairs. Scratch layout: [wak, wbk,
+    wav_0..wav_{P-1}, wbv_0..wbv_{P-1}, 2(P+1) DMA semaphores]."""
+    R = 1 << (tile_log - 7)
+    Rw = R + 8
+
+    def kernel(a_off_r, a_rem_r, b_off_r, b_front_r, out_m_r, *refs):
+        n_io = 1 + n_vals
+        hbms = refs[:n_io]  # keys + value planes
+        outs = refs[n_io : 2 * n_io]
+        scratch = refs[2 * n_io :]
+        wak, wbk = scratch[0], scratch[1]
+        wavs = scratch[2 : 2 + n_vals]
+        wbvs = scratch[2 + n_vals : 2 + 2 * n_vals]
+        semas = scratch[2 + 2 * n_vals :]
+        t = pl.program_id(0)
+
+        @pl.when(t < n_real if n_real is not None else t >= 0)
+        def _merge():
+            a_off, b_off = a_off_r[t], b_off_r[t]
+            a_rem, b_front, m = a_rem_r[t], b_front_r[t], out_m_r[t]
+            ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows)
+            rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows)
+            copies = []
+            for i, (src, dst) in enumerate(
+                list(zip(hbms, [wak] + list(wavs)))
+                + list(zip(hbms, [wbk] + list(wbvs)))
+            ):
+                r = ra if i < n_io else rb
+                c = pltpu.make_async_copy(src.at[pl.ds(r, Rw)], dst, semas[i])
+                c.start()
+                copies.append(c)
+            for c in copies:
+                c.wait()
+
+            sa = a_off & 127
+            sb = b_off & 127
+            ak = fv.shift_flat_left_dyn(wak[...], sa, Rw, I32_MAX)[0:R]
+            bk = fv.shift_flat_left_dyn(wbk[...], sb, Rw, I32_MAX)[0:R]
+            avs = [fv.shift_flat_left_dyn(w[...], sa, Rw, 0)[0:R] for w in wavs]
+            bvs = [fv.shift_flat_left_dyn(w[...], sb, Rw, 0)[0:R] for w in wbvs]
+            flat = fv.flat_index(R)
+            ak = jnp.where(flat >= a_rem, I32_MAX, ak)
+            bk = jnp.where(flat < b_front, I32_MAX, bk)
+
+            take_b = bk < ak  # strict: A wins ties, like jnp.minimum
+            k = jnp.where(take_b, bk, ak) ^ m
+            vs = [jnp.where(take_b, bv, av) for av, bv in zip(avs, bvs)]
+            for k_log in range(tile_log - 1, -1, -1):
+                k, vs = _bitonic_stage_multi(k, vs, flat, k_log, R)
+            outs[0][...] = k ^ m
+            for o, v in zip(outs[1:], vs):
+                o[...] = v
+
+        if n_real is not None:
+
+            @pl.when(t >= n_real)
+            def _slack():
+                outs[0][...] = jnp.full((R, 128), I32_MAX, jnp.int32)
+                for o in outs[1:]:
+                    o[...] = jnp.zeros((R, 128), jnp.int32)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log",))
+def _sort_padded_multi(k, vs: tuple, tile_log: int):
+    """Sort (i32 keys, value planes)[n_pad], n_pad a tile multiple,
+    keys +INF-padded. Mirrors bigsort._sort_padded."""
+    tile = 1 << tile_log
+    n_pad = k.shape[0]
+    nt = n_pad // tile
+    rows = n_pad // 128
+    R = tile // 128
+    P = len(vs)
+
+    n_levels = max(nt - 1, 0).bit_length()
+    alt = n_levels > 0
+
+    yk = k.reshape(rows, 128)
+    yvs = [v.reshape(rows, 128) for v in vs]
+    with jax.enable_x64(False):
+        spec = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+        outs = pl.pallas_call(
+            _make_local_kernel_multi(tile_log, P, alt),
+            grid=(nt,),
+            in_specs=[spec] * (1 + P),
+            out_specs=[spec] * (1 + P),
+            out_shape=[shape] * (1 + P),
+            compiler_params=_VMEM_BIG,
+        )(yk, *yvs)
+        yk, yvs = outs[0], list(outs[1:])
+
+    Rw = R + 8
+    if n_levels:
+        yk = jnp.concatenate(
+            [yk, jnp.full((2 * R, 128), I32_MAX, jnp.int32)], axis=0
+        )
+        yvs = [
+            jnp.concatenate([v, jnp.zeros((2 * R, 128), jnp.int32)], axis=0)
+            for v in yvs
+        ]
+    merge_kernel = _make_merge_kernel_multi(
+        tile_log, rows + R - 8, P, n_real=nt
+    )
+    pad2 = jnp.zeros(2, jnp.int32)
+    for lvl in range(n_levels):
+        run_log = tile_log + lvl
+        splits = _merge_splits_alt(
+            yk.reshape(-1), run_log, nt, tile_log, n_pad
+        )
+        with jax.enable_x64(False):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(nt + 2,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + P),
+                out_specs=[
+                    pl.BlockSpec(
+                        (R, 128), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                    )
+                ]
+                * (1 + P),
+                scratch_shapes=(
+                    [pltpu.VMEM((Rw, 128), jnp.int32)] * (2 * (1 + P))
+                    + [pltpu.SemaphoreType.DMA] * (2 * (1 + P))
+                ),
+            )
+            outs = pl.pallas_call(
+                merge_kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows + 2 * R, 128), jnp.int32)
+                ]
+                * (1 + P),
+                compiler_params=_VMEM_BIG,
+            )(*(jnp.concatenate([s, pad2]) for s in splits), yk, *yvs)
+            yk, yvs = outs[0], list(outs[1:])
+
+    return yk.reshape(-1)[:n_pad], tuple(v.reshape(-1)[:n_pad] for v in yvs)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log",))
+def _merge_two_padded_multi(ak, avs: tuple, bk, bvs: tuple, tile_log: int):
+    """One bitonic merge-path level over pre-sorted (A, B) pair streams;
+    B flipped into descending storage (bigsort._merge_two_padded)."""
+    tile = 1 << tile_log
+    R = tile // 128
+    Rw = R + 8
+    P = len(avs)
+    nA, nB = ak.shape[0], bk.shape[0]
+    n = nA + nB
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    rows = n_pad // 128
+    slack = Rw * 128
+
+    def assemble(a, b, fill):
+        f = jnp.full(slack, fill, jnp.int32)
+        return jnp.concatenate(
+            [f, a, b[::-1], jnp.full(n_pad - n, fill, jnp.int32), f]
+        ).reshape(rows + 2 * Rw, 128)
+
+    ypad_k = assemble(ak, bk, I32_MAX)
+    ypad_vs = [assemble(a, b, 0) for a, b in zip(avs, bvs)]
+    a_off, a_rem, b_off, b_front, out_m = _merge_splits_two(
+        ypad_k.reshape(-1), nA, nB, nt, tile_log, n_pad, base=slack
+    )
+    splits = (a_off + slack, a_rem, b_off + slack, b_front, out_m)
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + P),
+            out_specs=[
+                pl.BlockSpec(
+                    (R, 128), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+                )
+            ]
+            * (1 + P),
+            scratch_shapes=(
+                [pltpu.VMEM((Rw, 128), jnp.int32)] * (2 * (1 + P))
+                + [pltpu.SemaphoreType.DMA] * (2 * (1 + P))
+            ),
+        )
+        outs = pl.pallas_call(
+            _make_merge_kernel_multi(tile_log, rows + Rw, P),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)]
+            * (1 + P),
+            compiler_params=_VMEM_BIG,
+        )(*splits, ypad_k, *ypad_vs)
+    return outs[0].reshape(-1), tuple(o.reshape(-1) for o in outs[1:])
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def pallas_sort_multi_i32(keys, vals, tile_log: int = TILE_LOG):
+    """Ascending sort of i32 keys carrying i32 value planes. Returns
+    (sorted_keys, tuple_of_sorted_value_planes). Unstable among equal
+    keys; key/value tuples stay attached. Keys strictly inside
+    (INT32_MIN, INT32_MAX)."""
+    vals = tuple(vals)
+    n = keys.shape[0]
+    tile = 1 << tile_log
+    if n <= tile:
+        out = jax.lax.sort([keys, *vals], num_keys=1)
+        return out[0], tuple(out[1:])
+    pad = (-n) % tile
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, I32_MAX, jnp.int32)])
+        vals = tuple(
+            jnp.concatenate([v, jnp.zeros(pad, jnp.int32)]) for v in vals
+        )
+    k, vs = _sort_padded_multi(keys, vals, tile_log)
+    return k[:n], tuple(v[:n] for v in vs)
+
+
+def merge_sorted_multi_i32(ak, avs, bk, bvs, tile_log: int = TILE_LOG):
+    """Merge two ASCENDING-sorted pair streams (ties: A's elements
+    first). Returns (keys, value_planes) of length |A|+|B|."""
+    avs, bvs = tuple(avs), tuple(bvs)
+    n = ak.shape[0] + bk.shape[0]
+    if n <= (1 << tile_log) or ak.shape[0] == 0 or bk.shape[0] == 0:
+        out = jax.lax.sort(
+            [
+                jnp.concatenate([ak, bk]),
+                *(
+                    jnp.concatenate([a, b])
+                    for a, b in zip(avs, bvs)
+                ),
+            ],
+            num_keys=1,
+        )
+        return out[0], tuple(out[1:])
+    k, vs = _merge_two_padded_multi(ak, avs, bk, bvs, tile_log)
+    return k[:n], tuple(v[:n] for v in vs)

@@ -41,7 +41,7 @@ from ccve_tpu.exec.bulk import MatchStats
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["keys", "payloads"],
-    meta_fields=["pack", "pack32", "max_mult"],
+    meta_fields=["pack", "pack32", "pay32", "max_mult"],
 )
 @dataclasses.dataclass(frozen=True)
 class SortedTable:
@@ -58,6 +58,10 @@ class SortedTable:
     payloads: jax.Array  # int64[m], aligned with keys
     pack: tuple | None = None
     pack32: tuple | None = None
+    # payloads fit an i32 bit-for-bit (static, host-checked at build):
+    # gates the multi-plane Pallas stats path, where payloads ride the
+    # sort as an i32 cargo plane (kernels/pairsort.py)
+    pay32: bool = False
     max_mult: int = 1
 
 
@@ -105,6 +109,13 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
         payloads=jax.device_put(jnp.asarray(payloads[order]), device),
         pack=_pack_meta(keys, payloads),
         pack32=_pack32_meta(keys),
+        pay32=bool(
+            payloads.size == 0
+            or (
+                payloads.min() >= -(2**31)
+                and payloads.max() < 2**31
+            )
+        ),
         max_mult=max_mult,
     )
 
@@ -160,11 +171,121 @@ def _merged_stats(table: SortedTable, probe_keys: jax.Array, allow_negative):
     return mult_sorted, psum_sorted, srow, is_build
 
 
+def _pack32_streams(table: SortedTable, probe_keys: jax.Array):
+    """i32-packed merge streams: build key' even (tag 0, sorts first
+    within a run), probe key' odd. Probes clamp into [0, key_span-1] —
+    strictly above every build key' at the top, so clamped keys match
+    nothing. key_bits <= 29 keeps the packed probe max (key_span-1)<<1|1
+    strictly under INT32_MAX (the sort sentinel)."""
+    kmin, key_bits = table.pack32
+    key_lo = kmin - 1
+    key_span = 1 << key_bits
+    b32 = ((table.keys - key_lo) << 1).astype(jnp.int32)
+    i32_ok = (
+        probe_keys.dtype == jnp.int32
+        and -(2**31) <= key_lo
+        and key_lo + key_span - 1 < 2**31
+    )
+    if i32_ok:
+        pkc = jnp.clip(
+            probe_keys, jnp.int32(key_lo), jnp.int32(key_lo + key_span - 1)
+        )
+        p32 = ((pkc - jnp.int32(key_lo)) << 1) | 1
+    else:
+        p32 = (
+            (
+                jnp.clip(
+                    probe_keys.astype(jnp.int64) - key_lo, 0, key_span - 1
+                )
+                << 1
+            )
+            | 1
+        ).astype(jnp.int32)
+    return b32, p32
+
+
+def _sorted_match_stats_pallas(
+    table: SortedTable,
+    probe_keys: jax.Array,
+    allow_negative: bool,
+    tile_log: int | None,
+) -> MatchStats:
+    """Per-probe stats on the multi-plane Pallas sort (kernels/pairsort):
+
+      1. sort the PROBE stream only — key' = (k - lo) << 1 | 1, cargo =
+         row id — then one unequal merge-path pass folds in the
+         pre-sorted build stream (key' even, cargo = i32 payload);
+      2. the same prefix scans as `_merged_stats` produce per-position
+         mult / psum (builds precede probes in a run via the tag LSB);
+      3. unsort with ONE more multi-plane sort: probes keyed by row id,
+         builds keyed n (they sort to the back and fall off the [:n]
+         slice); psum travels as (hi, lo) i32 limb planes.
+
+    Replaces two 3-operand stable int64 lax.sorts with i32 plane sorts —
+    the same count-side trick `sorted_match_totals` uses, extended to
+    per-row outputs. Gated on pack32 (key span), key_bits <= 29 (the
+    probe clamp key' must stay strictly under INT32_MAX when packed) and
+    pay32 (payloads ride an i32 plane)."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.ops.scan_utils import cumsum_i64_limbs, cumsum_small_i32
+
+    tl = bs.TILE_LOG if tile_log is None else tile_log
+    n = probe_keys.shape[0]
+    b32, p32 = _pack32_streams(table, probe_keys)
+    bval = table.payloads.astype(jnp.int32)
+    pval = jnp.arange(n, dtype=jnp.int32)
+
+    sp_k, (sp_v,) = ps.pallas_sort_multi_i32(p32, [pval], tile_log=tl)
+    sk, (sval,) = ps.merge_sorted_multi_i32(
+        sp_k, [sp_v], b32, [bval], tile_log=tl
+    )
+
+    is_build = (sk & 1) == 0
+    ib = is_build.astype(jnp.int32)
+    c = cumsum_small_i32(ib)
+    bpay = jnp.where(is_build, sval.astype(jnp.int64), 0)
+    pc = cumsum_i64_limbs(bpay)
+    kk = sk >> 1  # run identity is the original key, not the tagged pack
+    run_start = jnp.concatenate([jnp.ones(1, bool), kk[1:] != kk[:-1]])
+    base_c = _segment_base(run_start, c - ib, monotone=True)
+    base_p = _segment_base(run_start, pc - bpay, monotone=not allow_negative)
+    mult_sorted = jnp.where(is_build, 0, c - base_c).astype(jnp.int32)
+    psum_sorted = jnp.where(is_build, 0, pc - base_p)
+
+    key2 = jnp.where(is_build, jnp.int32(n), sval)
+    lo = psum_sorted.astype(jnp.int32)
+    hi = (psum_sorted >> 32).astype(jnp.int32)
+    _, (mult2, lo2, hi2) = ps.pallas_sort_multi_i32(
+        key2, [mult_sorted, lo, hi], tile_log=tl
+    )
+    psum = (hi2[:n].astype(jnp.int64) << 32) | (
+        lo2[:n].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+    )
+    return MatchStats(mult=mult2[:n], psum=psum)
+
+
 def sorted_match_stats(
-    table: SortedTable, probe_keys: jax.Array, allow_negative: bool = False
+    table: SortedTable,
+    probe_keys: jax.Array,
+    allow_negative: bool = False,
+    use_kernel: bool | None = None,
+    tile_log: int | None = None,
 ) -> MatchStats:
     """Per-probe-key (match count, matched-payload sum) via sort-merge,
     in original probe-row order."""
+    kernel_ok = (
+        jax.default_backend() != "cpu" if use_kernel is None else use_kernel
+    )
+    if (
+        kernel_ok
+        and table.pack32 is not None
+        and table.pack32[1] <= 29
+        and table.pay32
+    ):
+        return _sorted_match_stats_pallas(
+            table, probe_keys, allow_negative, tile_log
+        )
     m = table.keys.shape[0]
     mult_sorted, psum_sorted, srow, is_build = _merged_stats(
         table, probe_keys, allow_negative
@@ -395,8 +516,82 @@ def sorted_match_totals(
     return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
 
 
+def _sorted_expand_pallas(
+    table: SortedTable,
+    probe_keys: jax.Array,
+    capacity: int,
+    tile_log: int | None,
+):
+    """sorted_expand on the multi-plane Pallas sort: the merged stream
+    comes from one probe-only pair sort + one unequal merge (cargo =
+    payload-or-row i32, as in `_sorted_match_stats_pallas`), and the
+    final validity-keyed compaction of the F*(m+n) candidates is ONE
+    multi-plane sort — key = probe row (invalid candidates keyed n,
+    sorting past the [:capacity] window), cargo = (key', payload) i32
+    planes — instead of the 4-operand stable int64 lax.sort."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.ops.scan_utils import cumsum_small_i32
+
+    tl = bs.TILE_LOG if tile_log is None else tile_log
+    n = probe_keys.shape[0]
+    F = max(int(table.max_mult), 1)
+    kmin, _ = table.pack32
+    key_lo = kmin - 1
+
+    b32, p32 = _pack32_streams(table, probe_keys)
+    bval = table.payloads.astype(jnp.int32)
+    pval = jnp.arange(n, dtype=jnp.int32)
+    sp_k, (sp_v,) = ps.pallas_sort_multi_i32(p32, [pval], tile_log=tl)
+    sk, (sval,) = ps.merge_sorted_multi_i32(
+        sp_k, [sp_v], b32, [bval], tile_log=tl
+    )
+
+    is_build = (sk & 1) == 0
+    ib = is_build.astype(jnp.int32)
+    c = cumsum_small_i32(ib)
+    kk = sk >> 1
+    run_start = jnp.concatenate([jnp.ones(1, bool), kk[1:] != kk[:-1]])
+    base_c = _segment_base(run_start, c - ib, monotone=True)
+    ordv = c - base_c
+    total = jnp.sum(jnp.where(is_build, 0, ordv).astype(jnp.int64))
+
+    key2_f, mkey_f, pay_f = [], [], []
+    for f in range(1, F + 1):
+        src = is_build & (ordv == f)
+        payf = _segment_base(src, jnp.where(src, sval, 0), monotone=False)
+        valid = (~is_build) & (ordv >= f)
+        key2_f.append(jnp.where(valid, sval, jnp.int32(n)))
+        mkey_f.append(kk)
+        pay_f.append(payf)
+
+    key2 = jnp.concatenate(key2_f)
+    rows2, (mk2, pv2) = ps.pallas_sort_multi_i32(
+        key2,
+        [jnp.concatenate(mkey_f), jnp.concatenate(pay_f)],
+        tile_log=tl,
+    )
+    pad = max(capacity - key2.shape[0], 0)
+    if pad:
+        rows2 = jnp.concatenate([rows2, jnp.full(pad, n, jnp.int32)])
+        mk2 = jnp.concatenate([mk2, jnp.zeros(pad, jnp.int32)])
+        pv2 = jnp.concatenate([pv2, jnp.zeros(pad, jnp.int32)])
+    idx = jnp.arange(capacity, dtype=jnp.int64)
+    live = idx < total
+    out_rows = jnp.where(live, rows2[:capacity], -1)
+    out_keys = jnp.where(
+        live, mk2[:capacity].astype(jnp.int64) + key_lo, 0
+    )
+    out_pays = jnp.where(live, pv2[:capacity].astype(jnp.int64), 0)
+    return out_rows, out_keys, out_pays, total
+
+
 def sorted_expand(
-    table: SortedTable, probe_keys: jax.Array, capacity: int
+    table: SortedTable,
+    probe_keys: jax.Array,
+    capacity: int,
+    use_kernel: bool | None = None,
+    tile_log: int | None = None,
 ):
     """Materialize ALL matched (probe_row, build_key, build_payload)
     triples of one join level — gather-free. The reference materializes
@@ -418,6 +613,16 @@ def sorted_expand(
     keys i64[capacity], payloads i64[capacity], total_matches i64);
     slots past the match count carry row == -1. `capacity` bounds the
     RETURNED rows only — total_matches reports overflow."""
+    kernel_ok = (
+        jax.default_backend() != "cpu" if use_kernel is None else use_kernel
+    )
+    if (
+        kernel_ok
+        and table.pack32 is not None
+        and table.pack32[1] <= 29
+        and table.pay32
+    ):
+        return _sorted_expand_pallas(table, probe_keys, capacity, tile_log)
     m = table.keys.shape[0]
     n = probe_keys.shape[0]
     F = max(int(table.max_mult), 1)

@@ -1,0 +1,92 @@
+"""Multi-plane hybrid sort (kernels/pairsort.py) vs NumPy — interpret
+mode on CPU with shrunken tiles so the in-VMEM Batcher, the alternating
+bitonic merge-path levels, and the unequal two-run merge all run."""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+import pytest
+
+from ccve_tpu.kernels.pairsort import (
+    merge_sorted_multi_i32,
+    pallas_sort_multi_i32,
+)
+
+TILE_LOG = 11
+
+
+def _check_pairs(k, vs):
+    """Keys must come back sorted; each (key, *values) tuple must
+    survive as a multiset (the sort is unstable but pair-preserving)."""
+    with pltpu.force_tpu_interpret_mode():
+        gk, gvs = pallas_sort_multi_i32(
+            jnp.asarray(k), [jnp.asarray(v) for v in vs], tile_log=TILE_LOG
+        )
+    gk = np.asarray(gk)
+    assert np.array_equal(gk, np.sort(k))
+    got = {tuple(t) for t in np.stack([gk, *map(np.asarray, gvs)], axis=1)}
+    ref = {tuple(t) for t in np.stack([k, *vs], axis=1)}
+    assert got == ref
+
+
+@pytest.mark.parametrize("n", [100, 4095, 5000, 16385])
+@pytest.mark.parametrize("n_planes", [1, 3])
+def test_pairsort_random(n, n_planes):
+    rng = np.random.default_rng(n + n_planes)
+    k = rng.integers(-(1 << 30), 1 << 30, n, dtype=np.int32)
+    # distinct tuples: plane 0 is a permutation id
+    vs = [np.arange(n, dtype=np.int32)] + [
+        rng.integers(-(1 << 31), (1 << 31) - 1, n, dtype=np.int32)
+        for _ in range(n_planes - 1)
+    ]
+    _check_pairs(k, vs)
+
+
+def test_pairsort_duplicate_keys_keep_pairing():
+    rng = np.random.default_rng(5)
+    n = 20000
+    k = rng.integers(0, 40, n).astype(np.int32)  # heavy duplicates
+    v = np.arange(n, dtype=np.int32)
+    _check_pairs(k, [v])
+
+
+def test_pairsort_matches_stable_argsort_values_per_key():
+    """Per-key value multisets must match a stable argsort exactly."""
+    rng = np.random.default_rng(11)
+    n = 9000
+    k = rng.integers(0, 100, n).astype(np.int32)
+    v = rng.integers(0, 1 << 20, n).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        gk, (gv,) = pallas_sort_multi_i32(
+            jnp.asarray(k), [jnp.asarray(v)], tile_log=TILE_LOG
+        )
+    order = np.argsort(k, kind="stable")
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    assert np.array_equal(gk, k[order])
+    for key in np.unique(k):
+        assert sorted(gv[gk == key]) == sorted(v[k == key])
+
+
+def test_merge_sorted_multi():
+    rng = np.random.default_rng(7)
+    for nA, nB in [(16384, 2048), (5000, 3000), (300, 40), (100, 12288)]:
+        ak = np.sort(rng.integers(0, 1 << 20, nA).astype(np.int32))
+        bk = np.sort(rng.integers(0, 1 << 20, nB).astype(np.int32))
+        av = rng.integers(0, 1 << 30, nA).astype(np.int32)
+        bv = rng.integers(0, 1 << 30, nB).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            gk, (gv,) = merge_sorted_multi_i32(
+                jnp.asarray(ak), [jnp.asarray(av)],
+                jnp.asarray(bk), [jnp.asarray(bv)],
+                tile_log=TILE_LOG,
+            )
+        allk = np.concatenate([ak, bk])
+        assert np.array_equal(np.asarray(gk), np.sort(allk))
+        got = {tuple(t) for t in np.stack([gk, gv], axis=1).tolist()}
+        ref = {
+            tuple(t)
+            for t in np.stack(
+                [allk, np.concatenate([av, bv])], axis=1
+            ).tolist()
+        }
+        assert got == ref

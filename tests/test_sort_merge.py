@@ -201,3 +201,82 @@ def test_pack32_out_of_range_probes(probe_dtype):
         c, p = sorted_match_totals(st, jnp.asarray(probe), use_kernel=True)
     assert int(c) == int(ref_c)
     assert int(p) == int(ref_p)
+
+
+@pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
+@pytest.mark.parametrize("allow_negative", [False, True])
+def test_sorted_stats_pallas_path(probe_dtype, allow_negative):
+    """The multi-plane Pallas stats path (use_kernel=True, interpret
+    mode, shrunken tiles so the padded sort + unequal merge + unsort all
+    exercise the kernels) vs the XLA fallback on the same inputs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(17)
+    m, n = 3000, 9000
+    keys = np.sort(rng.integers(0, 500, m)).astype(np.int64)
+    payloads = rng.integers(-(2**20) if allow_negative else 0, 2**20, m)
+    st = build_sorted(keys, payloads)
+    assert st.pack32 is not None and st.pay32
+    probe = jnp.asarray(
+        rng.integers(-3, 510, n).astype(probe_dtype)
+    )
+    ref = sorted_match_stats(
+        st, probe, allow_negative=allow_negative, use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = sorted_match_stats(
+            st,
+            probe,
+            allow_negative=allow_negative,
+            use_kernel=True,
+            tile_log=11,
+        )
+    np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+
+
+def test_sorted_stats_pallas_path_small_n():
+    """Below one tile every sort takes the lax.sort shortcut — the
+    packing/unsort logic must still agree with the fallback."""
+    rng = np.random.default_rng(23)
+    keys = np.sort(rng.integers(0, 50, 64)).astype(np.int64)
+    st = build_sorted(keys, None)
+    probe = jnp.asarray(rng.integers(0, 55, 200).astype(np.int64))
+    ref = sorted_match_stats(st, probe, use_kernel=False)
+    got = sorted_match_stats(st, probe, use_kernel=True)
+    np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+
+
+def test_sorted_expand_pallas_path():
+    """The multi-plane Pallas expand (interpret mode, shrunken tiles)
+    must produce the same triple multiset as the XLA fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    rng = np.random.default_rng(31)
+    keys = np.sort(np.repeat(rng.integers(0, 900, 1200), 2))  # mult >= 2
+    payloads = rng.integers(0, 2**20, keys.size)
+    st = build_sorted(keys, payloads)
+    assert st.pack32 is not None and st.pay32
+    probe = rng.integers(-5, 950, 5000).astype(np.int64)
+    cap = 1 << 14
+
+    r0, k0, p0, t0 = sorted_expand(
+        st, jnp.asarray(probe), cap, use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        r1, k1, p1, t1 = sorted_expand(
+            st, jnp.asarray(probe), cap, use_kernel=True, tile_log=11
+        )
+    assert int(t0) == int(t1)
+
+    def triples(r, k, p):
+        return sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in zip(np.asarray(r), np.asarray(k), np.asarray(p))
+            if a >= 0
+        )
+
+    assert triples(r1, k1, p1) == triples(r0, k0, p0)
