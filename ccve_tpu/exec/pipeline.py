@@ -603,7 +603,10 @@ class JoinPipeline:
                 pstate, batch_cols, ccounts, jnp.asarray(thresholds)
             )
             if dynamic:
-                jax.block_until_ready(pstate)
+                # scalar readback: the only sync that actually waits
+                # through the axon relay (block_until_ready returns
+                # early there — PERF_NOTES.md)
+                np.asarray(jax.device_get(pstate.result_count))
                 seg_time = (time.perf_counter() - seg_t0) / ((s1 - s0) * K)
                 # reference reward shape: 2 / per-chunk-time / 1e3
                 # (main.cpp:164-166)
@@ -616,13 +619,15 @@ class JoinPipeline:
                 )
         if cfg.strategy is not CompactionStrategy.NONE:
             pstate = self._flush(pstate, jnp.asarray(thresholds))
-        jax.block_until_ready(pstate)
+        # honest end-of-run sync: one scalar readback (block_until_ready
+        # returns early through the axon relay — PERF_NOTES.md)
+        count = int(np.asarray(jax.device_get(pstate.result_count)).sum())
         seconds = time.perf_counter() - t0
         if K > 1:
             pstate = self._merge_lanes(pstate)
 
         out = {
-            "count": int(pstate.result_count),
+            "count": count,
             "seconds": seconds,
             "chunks": n_chunks,
             "occupancy": np.asarray(pstate.occupancy),

@@ -36,24 +36,59 @@ I64_MAX = jnp.iinfo(jnp.int64).max
 I64_MIN = jnp.iinfo(jnp.int64).min
 
 
+def _seg_scan(op, run_start, x):
+    """Inclusive segmented scan: `op` restarts at each run start."""
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, op(va, vb))
+
+    _, out = jax.lax.associative_scan(combine, (run_start, x))
+    return out
+
+
 @jax.jit
 def hash_aggregate(keys: jax.Array, values: jax.Array) -> GroupByResult:
-    """Sort-based group-by: full aggregate set in one pass."""
+    """Sort-based group-by — scatter-free. XLA lowers a TPU scatter to a
+    per-element loop (the same pathology as gathers, ops/mxu_move.py
+    docstring), so the reduction runs as segmented SCANS over the sorted
+    stream and the per-group results are compacted to the front with one
+    more sort (a sort outruns the equivalent scatter on this hardware —
+    see ops/sort_merge.py module docstring):
+
+      1. sort (key, value) pairs;
+      2. inclusive segmented count/sum/min/max scans (restart at run
+         starts) — each run's LAST element carries the group's stats;
+      3. one sort keyed by (is_run_end ? gid : n) compacts those run-end
+         rows to positions 0..n_groups-1 in sorted-key order.
+    """
     n = keys.shape[0]
-    order = jnp.argsort(keys, stable=True)
-    sk = jnp.take(keys, order)
-    sv = jnp.take(values, order)
+    sk, sv = jax.lax.sort([keys, values], num_keys=1)
     is_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # group id per row
     n_groups = gid[-1] + 1
 
-    out_keys = jnp.zeros(n, jnp.int64).at[gid].set(sk)
-    cnt = jnp.zeros(n, jnp.int64).at[gid].add(1)
-    s = jnp.zeros(n, jnp.int64).at[gid].add(sv)
-    mn = jnp.full(n, I64_MAX, jnp.int64).at[gid].min(sv)
-    mx = jnp.full(n, I64_MIN, jnp.int64).at[gid].max(sv)
+    one = jnp.ones_like(sk)
+    cnt_s = _seg_scan(jnp.add, is_start, one)
+    sum_s = _seg_scan(jnp.add, is_start, sv)
+    min_s = _seg_scan(jnp.minimum, is_start, sv)
+    max_s = _seg_scan(jnp.maximum, is_start, sv)
+
+    is_end = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+    ckey = jnp.where(is_end, gid, jnp.int32(n))  # run ends first, gid order
+    _, out_keys, cnt, s, mn, mx = jax.lax.sort(
+        [ckey, sk, cnt_s, sum_s, min_s, max_s], num_keys=1
+    )
+    lane = jnp.arange(n, dtype=jnp.int32)
+    live = lane < n_groups
     return GroupByResult(
-        keys=out_keys, count=cnt, sum=s, min=mn, max=mx, n_groups=n_groups
+        keys=jnp.where(live, out_keys, 0),
+        count=jnp.where(live, cnt, 0),
+        sum=jnp.where(live, s, 0),
+        min=jnp.where(live, mn, I64_MAX),
+        max=jnp.where(live, mx, I64_MIN),
+        n_groups=n_groups,
     )
 
 
