@@ -30,7 +30,13 @@ def _add_pipeline(sub):
         choices=["none", "full", "binary", "dynamic"],
         default="none",
     )
-    p.add_argument("--table", choices=["lp", "csr"], default="csr")
+    p.add_argument(
+        "--table",
+        choices=["lp", "csr", "sorted"],
+        default="csr",
+        help="build-table kind; 'sorted' (the TPU-native sort-merge "
+        "probe engine, ops/sort_merge.py) requires --executor bulk",
+    )
     p.add_argument(
         "--executor",
         choices=["pipeline", "bulk"],
@@ -136,7 +142,19 @@ def cmd_pipeline(args) -> int:
     with bee.time("[Generate Data]"):
         probe = gen_probe_table(cfg.lhs_size, cfg.n_joins, cfg.rhs_size)
         keys, payloads = gen_rhs_table(cfg.rhs_size, cfg.chunk_factor)
-    builder = build_lp if args.table == "lp" else build_csr
+    if args.table == "sorted":
+        if args.executor != "bulk":
+            print(
+                "--table sorted requires --executor bulk (the pipelined "
+                "executor's ScanStructure is a hash-table cursor)",
+                file=sys.stderr,
+            )
+            return 2
+        from ccve_tpu.ops.sort_merge import build_sorted
+
+        builder = build_sorted
+    else:
+        builder = build_lp if args.table == "lp" else build_csr
     with bee.time("[Build Hash Tables]"):
         tables = [builder(keys, payloads) for _ in range(cfg.n_joins)]
 

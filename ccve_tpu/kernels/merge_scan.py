@@ -194,6 +194,145 @@ def merge_scan_stats(sk: jax.Array, st: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# Row-stats i32 form: the pair-plane stream (kernels/pairsort.py) of
+# `sorted_match_stats` — key' << 1 | tag (build 0 / probe 1) plus the
+# payload-or-row i32 cargo plane — scanned in ONE pass that also emits
+# the UNSORT-ready planes (key2 = probe row id, builds/phantoms keyed a
+# sentinel that sorts past the [:n] window), replacing ~6 XLA HBM sweeps
+# ---------------------------------------------------------------------------
+
+_S32_PREV, _S32_C, _S32_PCHI, _S32_PCLO, _S32_BC, _S32_BPHI, _S32_BPLO = (
+    range(7)
+)
+_I32_MAX = 2**31 - 1
+
+
+def _make_stats32_kernel(n_sentinel: int, mult_bits: int | None = None):
+    """Requires non-negative build payloads (the cummax base trick —
+    callers with allow_negative use the XLA segmented scan instead) and
+    real packed keys strictly below INT32_MAX (key_bits <= 29 gate), so
+    s == INT32_MAX identifies sort-padding phantoms exactly.
+
+    With `mult_bits` set (caller guarantees psum < 2^(31 - mult_bits)
+    and mult < 2^mult_bits from the static pack/max_mult metadata), the
+    kernel emits TWO planes — key2 and (psum << mult_bits) | mult — so
+    the unsort sort carries one cargo plane instead of three."""
+
+    def kernel(s_ref, v_ref, *out_and_carry):
+        if mult_bits is None:
+            key2_ref, mult_ref, pshi_ref, pslo_ref, carry = out_and_carry
+        else:
+            key2_ref, packed_ref, carry = out_and_carry
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[_S32_PREV] = -1  # packed keys >= 0: forces a run start
+            carry[_S32_C] = 0
+            carry[_S32_PCHI] = 0
+            carry[_S32_PCLO] = 0
+            carry[_S32_BC] = I32_MIN
+            carry[_S32_BPHI] = I32_MIN
+            carry[_S32_BPLO] = 0
+
+        s = s_ref[:]
+        v = v_ref[:]
+        is_build = (s & 1) == 0
+        ib = is_build.astype(jnp.int32)
+        bplo = jnp.where(is_build, v, 0)  # non-negative: hi limb is 0
+
+        c = fv.prefix_sum_i32(ib, _R, _ROUNDS) + carry[_S32_C]
+        pchi_l, pclo_l = fv.prefix_sum_64(
+            jnp.zeros_like(bplo), bplo, _R, _ROUNDS
+        )
+        pchi, pclo = fv.add64(
+            pchi_l,
+            pclo_l,
+            jnp.full((_R, 128), carry[_S32_PCHI], jnp.int32),
+            jnp.full((_R, 128), carry[_S32_PCLO], jnp.int32),
+        )
+
+        key = jax.lax.shift_right_arithmetic(s, 1)
+        flat = fv.flat_index(_R)
+        prev = fv.shift_flat_right(key, 1, _R, 0)
+        prev = jnp.where(flat == 0, carry[_S32_PREV], prev)
+        run_start = key != prev
+
+        cx = c - ib
+        base_c = jnp.maximum(
+            fv.prefix_max_i32(jnp.where(run_start, cx, I32_MIN), _R, _ROUNDS),
+            carry[_S32_BC],
+        )
+        pcx_hi, pcx_lo = fv.sub64(pchi, pclo, jnp.zeros_like(bplo), bplo)
+        bm_hi, bm_lo = fv.prefix_max_64(
+            jnp.where(run_start, pcx_hi, I32_MIN),
+            jnp.where(run_start, pcx_lo, 0),
+            _R,
+            _ROUNDS,
+        )
+        base_p_hi, base_p_lo = fv.max64(
+            bm_hi,
+            bm_lo,
+            jnp.full((_R, 128), carry[_S32_BPHI], jnp.int32),
+            jnp.full((_R, 128), carry[_S32_BPLO], jnp.int32),
+        )
+
+        probe = ~is_build
+        mult = jnp.where(probe, c - base_c, 0)
+        ps_hi, ps_lo = fv.sub64(pchi, pclo, base_p_hi, base_p_lo)
+        if mult_bits is None:
+            mult_ref[:] = mult
+            pshi_ref[:] = jnp.where(probe, ps_hi, 0)
+            pslo_ref[:] = jnp.where(probe, ps_lo, 0)
+        else:
+            packed_ref[:] = jnp.where(
+                probe, jax.lax.shift_left(ps_lo, mult_bits) | mult, 0
+            )
+        key2_ref[:] = jnp.where(
+            is_build | (s == jnp.int32(_I32_MAX)),
+            jnp.int32(n_sentinel),
+            v,
+        )
+
+        carry[_S32_PREV] = key[_R - 1, 127]
+        carry[_S32_C] = c[_R - 1, 127]
+        carry[_S32_PCHI] = pchi[_R - 1, 127]
+        carry[_S32_PCLO] = pclo[_R - 1, 127]
+        carry[_S32_BC] = base_c[_R - 1, 127]
+        carry[_S32_BPHI] = base_p_hi[_R - 1, 127]
+        carry[_S32_BPLO] = base_p_lo[_R - 1, 127]
+
+    return kernel
+
+
+def merge_scan_stats32(
+    s: jax.Array, v: jax.Array, n_sentinel: int, mult_bits: int | None = None
+):
+    """(key2, mult, ps_hi, ps_lo) — or (key2, packed) when `mult_bits`
+    is set — i32 planes (PADDED length: padding rows carry key2 =
+    n_sentinel and zero stats, so the caller's unsort slice [:n] drops
+    them for free) from the sorted i32 pair stream."""
+    n = s.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        s = jnp.concatenate([s, jnp.full(pad, _I32_MAX, jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros(pad, jnp.int32)])
+    rows = s.shape[0] // 128
+    n_out = 4 if mult_bits is None else 2
+    spec = pl.BlockSpec((_R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        outs = pl.pallas_call(
+            _make_stats32_kernel(n_sentinel, mult_bits),
+            grid=(rows // _R,),
+            in_specs=[spec] * 2,
+            out_specs=[spec] * n_out,
+            out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.int32)] * n_out,
+            scratch_shapes=[pltpu.SMEM((7,), jnp.int32)],
+        )(s.reshape(rows, 128), v.reshape(rows, 128))
+    return tuple(o.reshape(-1) for o in outs)
+
+
+# ---------------------------------------------------------------------------
 # Count-side u32 form: the sort operand carries NO payload at all, and the
 # kernel emits DENSE per-build-row counts (stream compaction with an
 # amortized ring-buffer flush — no gather, no unsort, tiny output)

@@ -228,6 +228,7 @@ def _sorted_match_stats_pallas(
     pay32 (payloads ride an i32 plane)."""
     from ccve_tpu.kernels import bigsort as bs
     from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_stats32
     from ccve_tpu.ops.scan_utils import cumsum_i64_limbs, cumsum_small_i32
 
     tl = bs.TILE_LOG if tile_log is None else tile_log
@@ -241,21 +242,42 @@ def _sorted_match_stats_pallas(
         sp_k, [sp_v], b32, [bval], tile_log=tl
     )
 
-    is_build = (sk & 1) == 0
-    ib = is_build.astype(jnp.int32)
-    c = cumsum_small_i32(ib)
-    bpay = jnp.where(is_build, sval.astype(jnp.int64), 0)
-    pc = cumsum_i64_limbs(bpay)
-    kk = sk >> 1  # run identity is the original key, not the tagged pack
-    run_start = jnp.concatenate([jnp.ones(1, bool), kk[1:] != kk[:-1]])
-    base_c = _segment_base(run_start, c - ib, monotone=True)
-    base_p = _segment_base(run_start, pc - bpay, monotone=not allow_negative)
-    mult_sorted = jnp.where(is_build, 0, c - base_c).astype(jnp.int32)
-    psum_sorted = jnp.where(is_build, 0, pc - base_p)
-
-    key2 = jnp.where(is_build, jnp.int32(n), sval)
-    lo = psum_sorted.astype(jnp.int32)
-    hi = (psum_sorted >> 32).astype(jnp.int32)
+    if not allow_negative:
+        # all scans + unsort-plane assembly fused into ONE linear Pallas
+        # pass (kernels/merge_scan.merge_scan_stats32); needs the cummax
+        # base trick's non-negative payloads.
+        # When the static pack metadata bounds psum < 2^(31 - mult_bits)
+        # (psum <= max_mult * max_payload), psum and mult pack into ONE
+        # i32 cargo plane — the unsort sort carries 1 plane, not 3.
+        mb = None
+        if table.pack is not None:
+            pay_bits = table.pack[2]  # bits of 2*max_pay + 1
+            mbits = max(int(table.max_mult).bit_length(), 1)
+            if (pay_bits - 1) + 2 * mbits <= 31:
+                mb = mbits
+        if mb is not None:
+            key2, packed = merge_scan_stats32(sk, sval, n, mult_bits=mb)
+            _, (pk2,) = ps.pallas_sort_multi_i32(key2, [packed], tile_log=tl)
+            pk = pk2[:n]
+            mult = (pk & ((1 << mb) - 1)).astype(jnp.int32)
+            psum = (pk >> mb).astype(jnp.int64)
+            return MatchStats(mult=mult, psum=psum)
+        key2, mult_sorted, hi, lo = merge_scan_stats32(sk, sval, n)
+    else:
+        is_build = (sk & 1) == 0
+        ib = is_build.astype(jnp.int32)
+        c = cumsum_small_i32(ib)
+        bpay = jnp.where(is_build, sval.astype(jnp.int64), 0)
+        pc = cumsum_i64_limbs(bpay)
+        kk = sk >> 1  # run identity is the original key, not the pack
+        run_start = jnp.concatenate([jnp.ones(1, bool), kk[1:] != kk[:-1]])
+        base_c = _segment_base(run_start, c - ib, monotone=True)
+        base_p = _segment_base(run_start, pc - bpay, monotone=False)
+        mult_sorted = jnp.where(is_build, 0, c - base_c).astype(jnp.int32)
+        psum_sorted = jnp.where(is_build, 0, pc - base_p)
+        key2 = jnp.where(is_build, jnp.int32(n), sval)
+        lo = psum_sorted.astype(jnp.int32)
+        hi = (psum_sorted >> 32).astype(jnp.int32)
     _, (mult2, lo2, hi2) = ps.pallas_sort_multi_i32(
         key2, [mult_sorted, lo, hi], tile_log=tl
     )

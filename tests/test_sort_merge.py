@@ -237,13 +237,17 @@ def test_sorted_stats_pallas_path(probe_dtype, allow_negative):
 
 def test_sorted_stats_pallas_path_small_n():
     """Below one tile every sort takes the lax.sort shortcut — the
-    packing/unsort logic must still agree with the fallback."""
+    packing/unsort logic (and the fused stats scan, which always runs
+    as a kernel) must still agree with the fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
     rng = np.random.default_rng(23)
     keys = np.sort(rng.integers(0, 50, 64)).astype(np.int64)
     st = build_sorted(keys, None)
     probe = jnp.asarray(rng.integers(0, 55, 200).astype(np.int64))
     ref = sorted_match_stats(st, probe, use_kernel=False)
-    got = sorted_match_stats(st, probe, use_kernel=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = sorted_match_stats(st, probe, use_kernel=True)
     np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
 
@@ -280,3 +284,22 @@ def test_sorted_expand_pallas_path():
         )
 
     assert triples(r1, k1, p1) == triples(r0, k0, p0)
+
+
+def test_sorted_stats_pallas_path_wide_psum():
+    """Payloads too wide for the packed (psum << mult_bits | mult)
+    unsort plane: the 4-plane kernel variant must kick in and agree."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(41)
+    m, n = 2000, 7000
+    keys = np.sort(rng.integers(0, 300, m)).astype(np.int64)
+    payloads = rng.integers(2**29, 2**30, m)  # pay_bits-1 ~ 30
+    st = build_sorted(keys, payloads)
+    assert st.pack32 is not None and st.pay32
+    probe = jnp.asarray(rng.integers(0, 310, n).astype(np.int64))
+    ref = sorted_match_stats(st, probe, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = sorted_match_stats(st, probe, use_kernel=True, tile_log=11)
+    np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
