@@ -141,12 +141,17 @@ class JoinPipeline:
         self.lanes = lanes
         self.n_levels = len(tables)
         self.block = config.block_size
-        self.width = config.n_joins + 2 * self.n_levels
         if config.collect_tuples:
+            self.width = config.n_joins + 2 * self.n_levels
             self.capacity = (
                 result_capacity if result_capacity is not None else 1 << 20
             )
         else:
+            # count-only runs never read the per-level output columns
+            # (the ResultCollector counts, main.cpp:125-128): drop them
+            # from every [W, block] chunk op and skip the two per-step
+            # column writes — the work loop is per-step-op-count bound.
+            self.width = config.n_joins
             self.capacity = 0
         if self.lanes == 1:
             self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
@@ -226,7 +231,9 @@ class JoinPipeline:
             sel=st.sc_sel[cur],
             count=st.sc_count[cur],
         )
-        res = scan_next(self.tables[cur], keys, state)
+        res = scan_next(
+            self.tables[cur], keys, state, want_matches=self.capacity > 0
+        )
 
         sc_cursor = st.sc_cursor.at[cur].set(res.state.cursor)
         sc_end = st.sc_end.at[cur].set(res.state.end)
@@ -237,30 +244,36 @@ class JoinPipeline:
         # Two output columns at n_joins + 2*cur(+1), written at the matched
         # storage positions (GatherResult's input-coordinate scatter,
         # chaining_ht.cpp:126-136), viewed through sel = result_vector.
-        lane = jnp.arange(block, dtype=jnp.int32)
-        pos = jnp.where(lane < res.result_count, res.result_vector, block)
-        if self.config.payload_mode is PayloadMode.REFERENCE:
-            col_a_vals = jnp.zeros(block, jnp.int64)
-            col_b_vals = res.matched_keys
+        if self.capacity == 0:
+            # count-only: the output columns are never read — no writes
+            result_chunk = Chunk(blk, res.result_vector, res.result_count)
         else:
-            col_a_vals = res.matched_keys
-            col_b_vals = res.matched_payloads
-        # write rows (ca, ca+1) at the matched columns via ONE shared
-        # one-hot: read the old column values, overlay the two target
-        # rows elementwise, scatter all rows back (two 146-us XLA
-        # scatters -> two ~5-us MXU matmuls, ops/mxu_move.py)
-        from ccve_tpu.ops import mxu_move as mv
+            lane = jnp.arange(block, dtype=jnp.int32)
+            pos = jnp.where(
+                lane < res.result_count, res.result_vector, block
+            )
+            if self.config.payload_mode is PayloadMode.REFERENCE:
+                col_a_vals = jnp.zeros(block, jnp.int64)
+                col_b_vals = res.matched_keys
+            else:
+                col_a_vals = res.matched_keys
+                col_b_vals = res.matched_payloads
+            # write rows (ca, ca+1) at the matched columns via ONE shared
+            # one-hot: read the old column values, overlay the two target
+            # rows elementwise, scatter all rows back (two 146-us XLA
+            # scatters -> two ~5-us MXU matmuls, ops/mxu_move.py)
+            from ccve_tpu.ops import mxu_move as mv
 
-        ca = self.config.n_joins + 2 * cur
-        old = mv.take_cols(blk, jnp.where(pos < block, pos, 0))
-        row = jnp.arange(W, dtype=jnp.int32)[:, None]
-        vals = jnp.where(
-            row == ca,
-            col_a_vals[None, :],
-            jnp.where(row == ca + 1, col_b_vals[None, :], old),
-        )
-        blk = mv.put_cols(blk, pos, vals)
-        result_chunk = Chunk(blk, res.result_vector, res.result_count)
+            ca = self.config.n_joins + 2 * cur
+            old = mv.take_cols(blk, jnp.where(pos < block, pos, 0))
+            row = jnp.arange(W, dtype=jnp.int32)[:, None]
+            vals = jnp.where(
+                row == ca,
+                col_a_vals[None, :],
+                jnp.where(row == ca + 1, col_b_vals[None, :], old),
+            )
+            blk = mv.put_cols(blk, pos, vals)
+            result_chunk = Chunk(blk, res.result_vector, res.result_count)
 
         # --- compact -----------------------------------------------------
         if self.config.strategy is CompactionStrategy.NONE:

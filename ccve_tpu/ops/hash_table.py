@@ -382,7 +382,10 @@ class NextResult(NamedTuple):
 
 
 def scan_next(
-    table: LPTable | CSRTable, keys: jax.Array, state: ScanState
+    table: LPTable | CSRTable,
+    keys: jax.Array,
+    state: ScanState,
+    want_matches: bool = True,
 ) -> NextResult:
     """One Next step — match + gather + advance, fused like `InOneNext`
     (chaining_ht.cpp:138-173, linear_probing_ht.cpp:117-153): each live row
@@ -422,8 +425,15 @@ def scan_next(
 
     match = live_mask & has_entry & (cand_keys == keys)
     result_vector, result_count = _compress(match)
-    mk = mv.take_cols(jnp.stack([cand_keys, cand_payloads]), result_vector)
-    matched_keys, matched_payloads = mk[0], mk[1]
+    if want_matches:
+        mk = mv.take_cols(
+            jnp.stack([cand_keys, cand_payloads]), result_vector
+        )
+        matched_keys, matched_payloads = mk[0], mk[1]
+    else:
+        # count-only executors never read the gathered values — skip
+        # the one-hot gather (one MXU op per work-loop step)
+        matched_keys = matched_payloads = jnp.zeros(block, jnp.int64)
 
     # Advance (AdvancePointers, chaining_ht.cpp:109-124 /
     # linear_probing_ht.cpp:96-112): move cursor, drop exhausted rows.
