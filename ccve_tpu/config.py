@@ -92,6 +92,14 @@ class EngineConfig:
     # histogram update is a scatter inside the latency-bound work loop.
     record_occupancy: bool = False
 
+    # Executor A/B: route the work loop's descend through a real
+    # lax.cond so a compactor-absorbed step (emitted.count == 0 — about
+    # half of all steps under FULL compaction) skips the densify-gather
+    # and next-level probe at runtime, instead of computing them and
+    # select-discarding. Costs one branch per step; measured on chip
+    # before becoming the default.
+    branchy_descend: bool = False
+
     # DYNAMIC-strategy bandit arms (negative_feedback.hpp:172).
     threshold_arms: tuple = DEFAULT_THRESHOLD_ARMS
 

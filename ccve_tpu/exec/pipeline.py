@@ -326,25 +326,45 @@ class JoinPipeline:
 
         # --- descend: densify the emitted chunk into level cur+1 --------
         nxt = cur + 1
-        dense = gather_rows(emitted)  # [W, block]
-        scan_n = self._probe_level(nxt, dense[nxt], emitted.count)
 
-        def upd(stacked, new):
-            return stacked.at[nxt].set(
-                jnp.where(has_rows, new, stacked[nxt])
+        def _descend(_):
+            dense = gather_rows(emitted)  # [W, block]
+            scan_n = self._probe_level(nxt, dense[nxt], emitted.count)
+
+            def upd(stacked, new):
+                return stacked.at[nxt].set(
+                    jnp.where(has_rows, new, stacked[nxt])
+                )
+
+            sc_count2 = upd(sc_count, scan_n.count)
+            return _WorkState(
+                cur=_deepest_pending(sc_count2),
+                in_cols=upd(st.in_cols, dense),
+                in_count=upd(st.in_count, emitted.count),
+                sc_cursor=upd(sc_cursor, scan_n.cursor),
+                sc_end=upd(sc_end, scan_n.end),
+                sc_sel=upd(sc_sel, scan_n.sel),
+                sc_count=sc_count2,
+                pstate=pstate,
             )
 
-        sc_count = upd(sc_count, scan_n.count)
-        return _WorkState(
-            cur=_deepest_pending(sc_count),
-            in_cols=upd(st.in_cols, dense),
-            in_count=upd(st.in_count, emitted.count),
-            sc_cursor=upd(sc_cursor, scan_n.cursor),
-            sc_end=upd(sc_end, scan_n.end),
-            sc_sel=upd(sc_sel, scan_n.sel),
-            sc_count=sc_count,
-            pstate=pstate,
-        )
+        if not self.config.branchy_descend:
+            # branch-free: compute the descend unconditionally, rely on
+            # the has_rows selects inside upd (has_rows is True for most
+            # steps under NONE; A/B the alternative on chip)
+            return _descend(None)
+
+        def _stay(_):
+            return st._replace(
+                cur=_deepest_pending(sc_count),
+                sc_cursor=sc_cursor,
+                sc_end=sc_end,
+                sc_sel=sc_sel,
+                sc_count=sc_count,
+                pstate=pstate,
+            )
+
+        return jax.lax.cond(has_rows, _descend, _stay, None)
 
     def _work_loop(self, st: _WorkState, thresholds) -> _WorkState:
         """Depth-first drain, pop-free: `cur` is maintained as the DEEPEST

@@ -74,6 +74,33 @@ def main():
     timed("expand OLD 4M", olde, pe)
     timed("expand NEW 4M", newe, pe)
 
+    # --- D2: branchy-descend A/B on a config-3-shaped executor run ----
+    import dataclasses
+
+    from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+    from ccve_tpu.core.datagen import gen_probe_table as gpt
+    from ccve_tpu.exec.pipeline import JoinPipeline
+    from ccve_tpu.ops.hash_table import build_csr
+
+    lhs, rhs, blockc = 1_000_000, 50_000, 2048
+    probe4 = gpt(lhs, 4, 2 * rhs)
+    k4, p4 = gen_rhs_table(rhs, 1)
+    t4 = [build_csr(k4, p4) for _ in range(4)]
+    for branchy in (False, True):
+        cfg = EngineConfig(
+            block_size=blockc, n_joins=4, lhs_size=lhs, rhs_size=rhs,
+            strategy=CompactionStrategy.FULL,
+            payload_mode=PayloadMode.REFERENCE, branchy_descend=branchy,
+        )
+        pipe = JoinPipeline(t4, cfg)
+        pipe.run(probe4)  # compile
+        r = pipe.run(probe4)
+        print(
+            f"exec 4-way FULL branchy={branchy}: {r['seconds']:.3f}s "
+            f"count={r['count']}",
+            flush=True,
+        )
+
     # --- A/D/E: bench configs -----------------------------------------
     from ccve_tpu.bench.configs import (
         config2_filtered_join,

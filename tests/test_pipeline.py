@@ -223,3 +223,20 @@ def test_pipeline_multilane_matches_oracle(strategy):
     assert out["count"] == expected.shape[0]
     assert not out["overflowed"]
     assert_same_multiset(out["rows"], expected)
+
+
+@pytest.mark.parametrize("strategy", [CompactionStrategy.NONE, CompactionStrategy.FULL])
+def test_pipeline_branchy_descend(strategy):
+    """The lax.cond descend A/B (EngineConfig.branchy_descend) must be
+    observationally identical to the branch-free work loop."""
+    import dataclasses
+
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=700, rhs=96, chunk_factor=2, table_kind="csr",
+        strategy=strategy, payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(cfg, branchy_descend=True)
+    pipe = JoinPipeline(tables, cfg, result_capacity=8192)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
