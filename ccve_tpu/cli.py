@@ -224,6 +224,26 @@ def cmd_baseline(args) -> int:
     return 0
 
 
+def _add_roofline(sub):
+    p = sub.add_parser(
+        "roofline",
+        help="per-operator roofline accounting for the count-side join "
+        "(bench/roofline.py); --measured-ms overlays a measured time",
+    )
+    p.add_argument("--n-build", type=int, default=1_000_000)
+    p.add_argument("--n-probe", type=int, default=16_000_000)
+    p.add_argument("--measured-ms", type=float, default=None)
+    p.set_defaults(func=cmd_roofline)
+
+
+def cmd_roofline(args) -> int:
+    from ccve_tpu.bench.roofline import report
+
+    measured = args.measured_ms / 1e3 if args.measured_ms else None
+    print(report(args.n_build, args.n_probe, measured))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ccve_tpu")
     ap.add_argument(
@@ -238,6 +258,7 @@ def main(argv=None) -> int:
     _add_micro(sub)
     _add_matrix(sub)
     _add_baseline(sub)
+    _add_roofline(sub)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax

@@ -60,3 +60,19 @@ def test_micro_bench_variants_agree():
     assert len(results) == 4
     counts = {r.tuples for r in results}
     assert len(counts) == 1
+
+
+def test_roofline_report():
+    from ccve_tpu.bench.roofline import count_side_model, report
+
+    ops = count_side_model(1_000_000, 16_000_000)
+    # every operator's speed-of-light is the max of its two bounds
+    for op in ops:
+        assert op.t_sol == max(op.t_hbm, op.t_alu)
+    # the sort stages dominate and are ALU-bound on this hardware
+    assert ops[1].bound == "ALU" and ops[2].bound == "ALU"
+    txt = report(measured_s=0.0259)
+    assert "% of model speed-of-light" in txt
+    # the model must bracket the measured headline (~25.9 ms) from below
+    total_sol = sum(op.t_sol for op in ops)
+    assert 0.015 < total_sol < 0.0259
