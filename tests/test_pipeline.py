@@ -240,3 +240,38 @@ def test_pipeline_branchy_descend(strategy):
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
     assert_same_multiset(out["rows"], expected)
+
+
+@pytest.mark.parametrize("branchy", [False, True])
+@pytest.mark.parametrize("lanes", [1, 3])
+def test_pipeline_interaction_matrix(branchy, lanes):
+    """Stress the executor feature interactions the configs combine:
+    prefilter x FULL compaction x count-only x branchy x lanes."""
+    import dataclasses
+
+    from ccve_tpu.ops import filter as flt
+
+    cfg = EngineConfig(
+        block_size=BLOCK,
+        n_joins=2,
+        lhs_size=1100,
+        rhs_size=96,
+        chunk_factor=2,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+        collect_tuples=False,
+        branchy_descend=branchy,
+    )
+    probe = gen_probe_table(1100, 2, 96)
+    keys, payloads = gen_rhs_table(96, 2)
+    tables = [build_csr(keys, payloads) for _ in range(2)]
+    kept = probe[probe[:, 0] % 4 == 0]
+    expected = oracle_pipeline(
+        kept, [OracleBuildTable(keys, payloads)] * 2, PayloadMode.REFERENCE
+    )
+    pipe = JoinPipeline(
+        tables, cfg, prefilter=flt.mod_eq(4, 0), prefilter_col=0,
+        lanes=lanes,
+    )
+    out = pipe.run(probe, segment_chunks=2)
+    assert out["count"] == expected.shape[0]
