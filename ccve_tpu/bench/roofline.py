@@ -31,7 +31,6 @@ percent-of-speed-of-light figure.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 BW_HBM = 819e9  # B/s, v5e peak

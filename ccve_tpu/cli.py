@@ -138,18 +138,19 @@ def cmd_pipeline(args) -> int:
         file=sys.stderr,
     )
 
+    if args.table == "sorted" and args.executor != "bulk":
+        print(
+            "--table sorted requires --executor bulk (the pipelined "
+            "executor's ScanStructure is a hash-table cursor)",
+            file=sys.stderr,
+        )
+        return 2
+
     bee = BeeProfiler.get()
     with bee.time("[Generate Data]"):
         probe = gen_probe_table(cfg.lhs_size, cfg.n_joins, cfg.rhs_size)
         keys, payloads = gen_rhs_table(cfg.rhs_size, cfg.chunk_factor)
     if args.table == "sorted":
-        if args.executor != "bulk":
-            print(
-                "--table sorted requires --executor bulk (the pipelined "
-                "executor's ScanStructure is a hash-table cursor)",
-                file=sys.stderr,
-            )
-            return 2
         from ccve_tpu.ops.sort_merge import build_sorted
 
         builder = build_sorted

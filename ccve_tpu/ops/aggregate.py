@@ -65,11 +65,14 @@ def hash_aggregate(keys: jax.Array, values: jax.Array) -> GroupByResult:
     """
     n = keys.shape[0]
     sk, sv = jax.lax.sort([keys, values], num_keys=1)
+    # accumulate in int64 regardless of the value dtype (GroupByResult's
+    # contract; the old scatter path accumulated into int64 tables)
+    sv = sv.astype(jnp.int64)
     is_start = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
     gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # group id per row
     n_groups = gid[-1] + 1
 
-    one = jnp.ones_like(sk)
+    one = jnp.ones(n, jnp.int64)
     cnt_s = _seg_scan(jnp.add, is_start, one)
     sum_s = _seg_scan(jnp.add, is_start, sv)
     min_s = _seg_scan(jnp.minimum, is_start, sv)

@@ -75,8 +75,6 @@ def main():
     timed("expand NEW 4M", newe, pe)
 
     # --- D2: branchy-descend A/B on a config-3-shaped executor run ----
-    import dataclasses
-
     from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
     from ccve_tpu.core.datagen import gen_probe_table as gpt
     from ccve_tpu.exec.pipeline import JoinPipeline

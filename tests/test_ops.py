@@ -147,3 +147,16 @@ def test_sorted_build_counts_matches_numpy():
     sk = np.sort(bk)
     ref = np.array([(pk == k).sum() for k in sk], np.int32)
     assert np.array_equal(bc, ref)
+
+
+def test_hash_aggregate_int32_values_accumulate_in_int64():
+    """Regression: group sums must not wrap in the value dtype."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    keys = jnp.zeros(4, jnp.int64)
+    vals = jnp.full(4, 2**30, jnp.int32)
+    res = hash_aggregate(keys, vals)
+    assert res.sum.dtype == jnp.int64
+    assert int(res.sum[0]) == 4 * 2**30
+    assert int(res.count[0]) == 4
