@@ -156,7 +156,29 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
     assert int(bres.count) == expected
     probe_dev = jax.device_put(jnp.asarray(probe))
     best, _ = _timed(lambda p: bulk_count(stables, p), probe_dev)
-    out["bulk"] = {"seconds": best, "rows_per_s": lhs / best}
+
+    # sustained: NITER joins in one dispatch (bench.py methodology) —
+    # the single-dispatch time carries the relay's ~15-30 ms sync floor
+    NITER = 16
+
+    @jax.jit
+    def bulk_loop(p):
+        def body(_, acc):
+            bias = jnp.where(acc < 0, 1, 0).astype(p.dtype)
+            r = bulk_count(stables, p + bias)
+            return acc + r.count
+
+        return jax.lax.fori_loop(0, NITER, body, jnp.int64(0))
+
+    assert int(bulk_loop(probe_dev)) == NITER * expected
+    t0 = time.perf_counter()
+    int(bulk_loop(probe_dev))  # scalar readback: the honest sync
+    sustained = (time.perf_counter() - t0) / NITER
+    out["bulk"] = {
+        "seconds": sustained,
+        "single_dispatch_seconds": best,
+        "rows_per_s": lhs / sustained,
+    }
     for strategy in (CompactionStrategy.NONE, CompactionStrategy.FULL):
         cfg = EngineConfig(
             block_size=block,
@@ -205,12 +227,37 @@ def config4_zipf_pipeline(n_probe=4_000_000, domain=100_000, alpha=1.1):
         return total, agg.n_groups, sk[-1], sv[-1]
 
     best, out = _timed(run, probe)
+
+    # Sustained throughput: NITER queries in ONE device dispatch (the
+    # same methodology as bench.py's headline loop) — the single-
+    # dispatch `best` above carries the axon relay's ~15-30 ms sync
+    # floor, which at this workload's ~10 ms device time would be the
+    # dominant term and is tunnel overhead, not engine time. The
+    # data-dependent (always-zero) bias defeats loop-invariant motion.
+    NITER = 16
+    probe_dev = jax.device_put(probe)
+
+    @jax.jit
+    def run_loop(p):
+        def body(_, acc):
+            bias = jnp.where(acc < 0, 1, 0).astype(p.dtype)
+            total, _, _, sv_last = run(p + bias)
+            return acc + total + sv_last
+
+        return jax.lax.fori_loop(0, NITER, body, jnp.int64(0))
+
+    int(run_loop(probe_dev))  # warm-up / compile
+    t0 = time.perf_counter()
+    int(run_loop(probe_dev))  # scalar readback = the only honest sync
+    sustained = (time.perf_counter() - t0) / NITER
+
     hist = np.asarray(partition_histogram(probe, 16))
     skew = float(hist.max() / max(hist.mean(), 1.0))
     return {
         "name": "config4_zipf_pipeline",
-        "seconds": best,
-        "rows_per_s": n_probe / best,
+        "seconds": sustained,
+        "single_dispatch_seconds": best,
+        "rows_per_s": n_probe / sustained,
         "matches": int(out[0]),
         "n_groups": int(out[1]),
         "partition_skew_16": skew,
