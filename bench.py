@@ -135,6 +135,9 @@ def main() -> None:
     assert int(a.payload_checksums[0]) == int(b.payload_checksums[0])
     print("hash_lp cross-check (1M subset): ok", file=sys.stderr)
 
+    from ccve_tpu.bench.roofline import count_side_model
+
+    sol_s = sum(op.t_sol for op in count_side_model(N_BUILD, N_PROBE))
     print(
         json.dumps(
             {
@@ -143,6 +146,9 @@ def main() -> None:
                 "unit": "rows/s",
                 "vs_baseline": rows_per_s / BASELINE_ROWS_PER_S,
                 "engine": "sort_merge",
+                # fraction of the compare-exchange ALU roofline — the
+                # binding resource for a sort-based probe (cli roofline)
+                "pct_of_sol": per_iter and sol_s / per_iter,
             }
         )
     )
