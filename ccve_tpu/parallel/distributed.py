@@ -93,8 +93,12 @@ class PartitionedTables(NamedTuple):
 
             keys, payloads = arrs
             # pack=None: partitions share one SPMD program, and the
-            # INT64_MAX padding rows sit outside any packable key range
-            return SortedTable(keys, payloads, pack=None)
+            # INT64_MAX padding rows sit outside any packable key range.
+            # max_mult = the global unpadded multiplicity bound (pad
+            # runs never match a probe, so they need no fan-out).
+            return SortedTable(
+                keys, payloads, pack=None, max_mult=self.max_bound
+            )
         offsets, ekeys, epays = arrs
         return CSRTable(offsets, ekeys, epays, self.max_bound)
 
@@ -156,7 +160,9 @@ def _pack_partitions(keys, payloads, parts, n_parts, kind, mesh):
     elif kind == "sorted":
         # per-partition sort-merge tables (the fast local engine): rows
         # sorted by key, padded to the max partition with INT64_MAX keys
-        # (ascending-preserving, matching no engine key) / payload 0
+        # (ascending-preserving, matching no engine key) / payload 0.
+        # `bound` records the real (unpadded) max key multiplicity — the
+        # static fan-out the materializing path's sorted_expand needs.
         sk = np.full((n_parts, max_count), np.iinfo(np.int64).max, np.int64)
         sp = np.zeros((n_parts, max_count), np.int64)
         bound = 1
@@ -166,6 +172,8 @@ def _pack_partitions(keys, payloads, parts, n_parts, kind, mesh):
             order = np.argsort(keys[idx], kind="stable")
             sk[p, : idx.shape[0]] = keys[idx][order]
             sp[p, : idx.shape[0]] = payloads[idx][order]
+            _, cnts = np.unique(keys[idx], return_counts=True)
+            bound = max(bound, int(cnts.max(initial=1)))
         arrays = (jnp.asarray(sk), jnp.asarray(sp))
     else:
         raise ValueError(f"unknown table kind {kind!r}")
@@ -749,4 +757,146 @@ def dist_bulk_count_hier(
     count, chks, skew, overflow = f(table_leaves, probe_sharded)
     return DistResult(
         count=count, payload_checksums=chks, skew=skew, overflow=overflow
+    )
+
+
+class DistExpandResult(NamedTuple):
+    """Materialized distributed join output, per shard: the first
+    `counts[p]` slots of shard p's arrays are valid (probe_row,
+    build_key, build_payload) triples; `total` is the exact global match
+    count (== counts.sum() unless `overflow`)."""
+
+    rows: jax.Array  # int64[n_parts * capacity] global probe-row ids, -1 pad
+    keys: jax.Array  # int64[n_parts * capacity] matched build keys
+    payloads: jax.Array  # int64[n_parts * capacity] matched build payloads
+    counts: jax.Array  # int64[n_parts] valid triples per shard
+    total: jax.Array  # int64
+    overflow: jax.Array  # bool: a send bucket overflowed (results invalid)
+
+    def triples(self) -> np.ndarray:
+        """Host view: int64[total, 3] (row, key, payload), shard order."""
+        n_parts = self.counts.shape[0]
+        cap = self.rows.shape[0] // n_parts
+        out = []
+        for p in range(n_parts):
+            c = int(self.counts[p])
+            s = p * cap
+            out.append(
+                np.stack(
+                    [
+                        np.asarray(self.rows[s : s + c]),
+                        np.asarray(self.keys[s : s + c]),
+                        np.asarray(self.payloads[s : s + c]),
+                    ],
+                    axis=1,
+                )
+            )
+        return np.concatenate(out, axis=0)
+
+
+def dist_bulk_expand(
+    mesh: Mesh,
+    ptable: PartitionedTables,
+    probe_keys: np.ndarray | jax.Array,
+    cap_slack: float = 2.0,
+) -> DistExpandResult:
+    """Distributed MATERIALIZING single-level join (the north star's
+    "bit-identical join results", not just counts, across the mesh):
+    probe keys are radix-shuffled to their key's owner carrying their
+    global row id, each shard materializes its matches gather-free with
+    `sorted_expand` (ops/sort_merge.py), and the triples stay sharded —
+    the result multiset equals the single-chip `sorted_expand` exactly
+    (asserted in tests/test_distributed.py on a CPU mesh).
+
+    `ptable` must be the "sorted" kind (partition_tables(..., kind=
+    "sorted")). Output capacity per shard is the static worst case
+    n_parts * cap * max_mult, so expansion itself cannot overflow; only
+    the shuffle's send-bucket capacity can (reported, like
+    dist_bulk_count)."""
+    if ptable.kind != "sorted":
+        raise ValueError("dist_bulk_expand needs kind='sorted' partitions")
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    n_parts = mesh.devices.size
+    probe = jnp.asarray(probe_keys, jnp.int64).reshape(-1)
+    n = probe.shape[0]
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate([probe, jnp.full(pad, -2, jnp.int64)])
+    cap = max(int(per_dev / n_parts * cap_slack) + 8, 16)
+    cap = min(cap, per_dev)
+    F = max(int(ptable.max_bound), 1)
+    capx = n_parts * cap * F  # static per-shard output bound
+
+    probe_sharded = jax.device_put(probe, NamedSharding(mesh, P(AXIS)))
+    in_specs = (jax.tree.map(lambda _: P(AXIS), ptable.arrays), P(AXIS))
+    out_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P())
+
+    def spmd(table_leaves, probe_local):  # probe_local: [per_dev]
+        P_ = jax.lax.axis_size(AXIS)
+        d = jax.lax.axis_index(AXIS)
+        keys = probe_local
+        grow = d * per_dev + jnp.arange(per_dev, dtype=jnp.int64)
+        owner = _owner_jnp(keys, P_)
+        dead = keys == -2
+        rr = jnp.arange(per_dev, dtype=jnp.int32) % P_
+        owner = jnp.where(dead, rr, owner)
+
+        order = jnp.argsort(owner, stable=True)
+        owner_sorted = jnp.take(owner, order)
+        keys_sorted = jnp.take(keys, order)
+        rows_sorted = jnp.take(grow, order)
+        counts = jnp.zeros(P_, jnp.int32).at[owner].add(1)
+        offs = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        pos = jnp.arange(per_dev, dtype=jnp.int32) - jnp.take(
+            offs, owner_sorted
+        )
+        overflow = jnp.any(counts > cap)
+        safe_pos = jnp.where(pos < cap, pos, cap - 1)
+
+        send_k = jnp.full((P_, cap), -2, jnp.int64)
+        send_k = send_k.at[owner_sorted, safe_pos].set(keys_sorted)
+        send_r = jnp.full((P_, cap), -1, jnp.int64)
+        send_r = send_r.at[owner_sorted, safe_pos].set(rows_sorted)
+        recv_k = jax.lax.all_to_all(send_k, AXIS, split_axis=0, concat_axis=0)
+        recv_r = jax.lax.all_to_all(send_r, AXIS, split_axis=0, concat_axis=0)
+
+        local = ptable.local_table(tuple(a[0] for a in table_leaves))
+        ridx, mkeys, mpays, total_local = sorted_expand(
+            local, recv_k.reshape(-1), capx
+        )
+        src = jnp.take(
+            recv_r.reshape(-1),
+            jnp.clip(ridx, 0, P_ * cap - 1),
+            mode="clip",
+        )
+        grows = jnp.where(ridx >= 0, src, jnp.int64(-1))
+        count_local = jnp.sum((grows >= 0).astype(jnp.int64))
+        total = jax.lax.psum(total_local, AXIS)
+        overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
+        return (
+            grows,
+            jnp.where(grows >= 0, mkeys, 0),
+            jnp.where(grows >= 0, mpays, 0),
+            count_local[None],
+            total,
+            overflow,
+        )
+
+    f = jax.jit(
+        jax.shard_map(spmd, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+    rows, keys, pays, counts, total, overflow = f(
+        ptable.arrays, probe_sharded
+    )
+    return DistExpandResult(
+        rows=rows,
+        keys=keys,
+        payloads=pays,
+        counts=counts,
+        total=total,
+        overflow=overflow,
     )

@@ -220,3 +220,35 @@ def test_dist_hier_overflow_detected():
     ptables = [partition_tables(keys, payloads, 8, "lp", mesh)]
     res = dist_bulk_count_hier(mesh, ptables, probe, cap_slack=1.1)
     assert bool(res.overflow)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_dist_expand_matches_single_chip(n_devices):
+    """Materialized distributed join == single-chip sorted_expand as a
+    triple multiset (the north star's bit-identical-results bar)."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_expand
+    from ccve_tpu.parallel.distributed import dist_bulk_expand
+
+    rng = np.random.default_rng(13)
+    mesh = make_join_mesh(n_devices)
+    keys, payloads = gen_rhs_table(64, 3)  # multiplicity 3
+    probe = rng.integers(0, 70, 500).astype(np.int64)
+
+    st = build_sorted(keys, payloads)
+    cap = probe.shape[0] * st.max_mult
+    r0, k0, p0, t0 = sorted_expand(st, jnp.asarray(probe), cap)
+    ref = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in zip(np.asarray(r0), np.asarray(k0), np.asarray(p0))
+        if a >= 0
+    )
+
+    ptable = partition_tables(keys, payloads, n_devices, "sorted", mesh)
+    assert ptable.max_bound == st.max_mult
+    res = dist_bulk_expand(mesh, ptable, probe, cap_slack=8.0)
+    assert not bool(res.overflow)
+    assert int(res.total) == int(t0) == len(ref)
+    got = sorted(tuple(t) for t in res.triples().tolist())
+    assert got == ref
