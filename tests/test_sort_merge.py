@@ -303,3 +303,25 @@ def test_sorted_stats_pallas_path_wide_psum():
         got = sorted_match_stats(st, probe, use_kernel=True, tile_log=11)
     np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+
+
+@pytest.mark.parametrize("kmin", [-1000, -2**40])
+def test_sorted_stats_pallas_negative_key_range(kmin):
+    """pack32 with negative build-key ranges: key_lo arithmetic and the
+    i32/i64 probe packing must agree with the fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(abs(kmin) % 97)
+    m, n = 1500, 6000
+    keys = np.sort(rng.integers(kmin, kmin + 400, m)).astype(np.int64)
+    payloads = rng.integers(0, 2**20, m)
+    st = build_sorted(keys, payloads)
+    assert st.pack32 is not None and st.pay32
+    probe = jnp.asarray(
+        rng.integers(kmin - 5, kmin + 410, n).astype(np.int64)
+    )
+    ref = sorted_match_stats(st, probe, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = sorted_match_stats(st, probe, use_kernel=True, tile_log=11)
+    np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
