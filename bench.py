@@ -40,7 +40,34 @@ N_PROBE = 16_000_000
 BASELINE_ROWS_PER_S = 3.0e9 / 9.28  # AVX-512 LP probe+next @ 3 GHz
 
 
+def _backend_watchdog(timeout_s: float = 240.0) -> None:
+    """jax.devices() hangs FOREVER when the axon relay is down (its
+    127.0.0.1:8082/8083 listener gone — PERF_NOTES.md 'TPU tunnel
+    outage'). Fail fast with a diagnostic instead of eating the caller's
+    whole timeout; normal init completes in seconds."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(
+                f"FATAL: TPU backend init incomplete after {timeout_s:.0f}s"
+                " — the axon relay (127.0.0.1:8082/8083) appears down;"
+                " no benchmark result produced (see PERF_NOTES.md).",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()
+    done.set()
+
+
 def main() -> None:
+    _backend_watchdog()
     from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
     from ccve_tpu.exec.bulk import bulk_count
     from ccve_tpu.ops.hash_table import build_lp
