@@ -45,6 +45,30 @@ def main():
 
     print(jax.devices(), flush=True)
 
+    # --- 0: Mosaic lowering smoke for the outage-window kernels --------
+    # (pairsort / merge_scan_stats32 have only ever run in interpret
+    # mode — validate real lowering at small scale before the big runs)
+    from ccve_tpu.kernels.pairsort import (
+        merge_sorted_multi_i32,
+        pallas_sort_multi_i32,
+    )
+
+    rng = np.random.default_rng(0)
+    ks = rng.integers(0, 1 << 20, 300_000).astype(np.int32)
+    vs = np.arange(300_000, dtype=np.int32)
+    gk, (gv,) = pallas_sort_multi_i32(jnp.asarray(ks), [jnp.asarray(vs)])
+    gk, gv = np.asarray(gk), np.asarray(gv)
+    assert np.array_equal(gk, np.sort(ks)), "pairsort keys wrong on chip"
+    assert np.array_equal(ks[gv], gk), "pairsort cargo detached on chip"
+    mk, (mv,) = merge_sorted_multi_i32(
+        jnp.asarray(gk), [jnp.asarray(gv)],
+        jnp.asarray(np.sort(ks[:1000])), [jnp.asarray(vs[:1000])],
+    )
+    assert np.array_equal(
+        np.asarray(mk), np.sort(np.concatenate([ks, ks[:1000]]))
+    ), "pair merge wrong on chip"
+    print("lowering smoke: pairsort + merge ok", flush=True)
+
     # --- B: stats old vs new ------------------------------------------
     n_build, n_probe = 1_000_000, 16_000_000
     keys, payloads = gen_rhs_table(n_build, 1)
