@@ -29,7 +29,7 @@ def _check_pairs(k, vs):
     assert got == ref
 
 
-@pytest.mark.parametrize("n", [100, 4095, 5000, 16385])
+@pytest.mark.parametrize("n", [100, 4095, 4096, 5000, 16384, 16385])
 @pytest.mark.parametrize("n_planes", [1, 3])
 def test_pairsort_random(n, n_planes):
     rng = np.random.default_rng(n + n_planes)
