@@ -1,0 +1,255 @@
+"""Sorted-chunk pipelined executor — the TPU-native chunk-at-a-time engine.
+
+`exec/pipeline.JoinPipeline` is the PARITY executor: it reproduces the
+reference's per-row cursor chase (`ScanStructure`/`LPScanStructure`
+stepping, chaining_ht.cpp:138-173) one `Next` per work-loop iteration,
+which on TPU is latency-bound at one [block]-wide op chain per match
+round (~0.5 ms/step measured, PERF_NOTES.md). This module is the
+TPU-NATIVE executor for the same chunk-at-a-time semantics — exactly the
+relationship sort-merge has to hash-probe on the bulk side:
+
+ - each level's build side is a SORTED table (ops/sort_merge.SortedTable);
+ - one fused Pallas kernel per (chunk, level) computes every probe row's
+   match count and first-match position in a single sorted-merge pass
+   (kernels/chunk_probe.py) — the whole `Probe` + `while HasNext()` drain
+   of the reference collapses into ONE dispatch plus `max_mult` cheap
+   select/compact emissions;
+ - the drain over match ranks t = 0..max_mult-1 REPLAYS the reference's
+   emission structure: drain step t emits the rows with more than t
+   matches (the rows the reference's t-th `Next` call would emit), so
+   chunk-at-a-time compaction semantics — including the NONE/FULL/BINARY/
+   DYNAMIC strategies and the end-of-stream flush cascade — are preserved
+   and the emitted multiset matches `exec/oracle.oracle_pipeline` exactly.
+
+The executor recursion over levels is STATIC (Python-unrolled, like the
+reference's template recursion); the per-level drain is a
+`lax.fori_loop` over the table's static max-multiplicity, so there is no
+data-dependent `while_loop` and no `lax.switch` — every chunk flows
+through one straight-line compiled program.
+
+Row order inside emitted chunks differs from the reference (rows are
+emitted in input-storage order per drain rank, not per bucket-chain
+position), which is invisible in the result multiset the reference
+itself checks (#tuples cross-checks, simd_micro_bench.cpp:116).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.config import CompactionStrategy, PayloadMode
+from ccve_tpu.core.chunk import Chunk, compress_indices, gather_rows
+from ccve_tpu.exec.pipeline import JoinPipeline
+from ccve_tpu.kernels.chunk_probe import (
+    I32_MAX,
+    chunk_rank,
+    chunk_rank_xla,
+    stage_table_planes,
+)
+from ccve_tpu.ops import compactor as comp
+from ccve_tpu.ops.sort_merge import SortedTable
+
+# kernel operands must stay strictly below I32_MAX - 1 so invalid-lane
+# sentinels never collide with real (clamped) probe operands
+_MAX_KEY_BITS = 29
+# staged table VMEM budget (i32 plane): 1M entries = 4 MB
+_MAX_VMEM_ENTRIES = 1 << 20
+
+
+class SortedPipeline(JoinPipeline):
+    """Chunk-at-a-time N-way join over per-level SORTED tables."""
+
+    def __init__(
+        self,
+        tables: Sequence[SortedTable],
+        config,
+        result_capacity: int | None = None,
+        prefilter=None,
+        prefilter_col: int = 0,
+        use_kernel: bool | None = None,
+        interpret: bool = False,
+    ):
+        for t in tables:
+            if not isinstance(t, SortedTable):
+                raise TypeError("SortedPipeline needs SortedTable levels")
+        if use_kernel is None:
+            use_kernel = jax.default_backend() == "tpu"
+        self.interpret = interpret
+        self._fanout = [max(t.max_mult, 1) for t in tables]
+        # per-level kernel eligibility + staged packed planes
+        self._kernel_level = []
+        self._tpk = []
+        self._pack = []
+        block = config.block_size
+        for t in tables:
+            ok = (
+                use_kernel
+                and t.pack32 is not None
+                and t.pack32[1] <= _MAX_KEY_BITS
+                and 1 <= t.keys.shape[0] <= _MAX_VMEM_ENTRIES
+            )
+            self._kernel_level.append(ok)
+            if ok:
+                kmin, _ = t.pack32
+                packed = ((np.asarray(t.keys) - kmin + 1) << 1).astype(
+                    np.int32
+                )
+                self._tpk.append(stage_table_planes(packed, block))
+                self._pack.append((kmin, t.pack32[1]))
+            else:
+                self._tpk.append(None)
+                self._pack.append(None)
+        super().__init__(
+            tables,
+            config,
+            result_capacity=result_capacity,
+            prefilter=prefilter,
+            prefilter_col=prefilter_col,
+            lanes=1,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _level_rank(self, level: int, keys: jax.Array, valid: jax.Array):
+        """(mult, start) int32[block] for one chunk at one level."""
+        table = self.tables[level]
+        if self._kernel_level[level]:
+            kmin, key_bits = self._pack[level]
+            hi = (1 << key_bits) - 1
+            kp = jnp.clip(keys - kmin + 1, 0, hi)
+            pk = jnp.where(
+                valid, (kp << 1) | 1, I32_MAX
+            ).astype(jnp.int32)
+            return chunk_rank(
+                self._tpk[level],
+                int(table.keys.shape[0]),
+                pk,
+                interpret=self.interpret,
+            )
+        return chunk_rank_xla(table.keys, keys, valid)
+
+    def _run_tree(
+        self, level: int, cols, count, pstate, thresholds, valid_extra=None
+    ):
+        """Probe a dense chunk at `level`, drain its matches, compact,
+        and recurse (statically) into deeper levels — the reference's
+        ExecutePipeline recursion (main.cpp:119-170) with the per-row
+        cursor loop replaced by rank math."""
+        cfg = self.config
+        block, L = self.block, self.n_levels
+        lane = jnp.arange(block, dtype=jnp.int32)
+        valid = lane < count
+        if valid_extra is not None:
+            valid = valid & valid_extra
+        keys = cols[level]
+        mult, start = self._level_rank(level, keys, valid)
+
+        ca = cfg.n_joins + 2 * level
+        if self.capacity > 0:
+            if cfg.payload_mode is PayloadMode.REFERENCE:
+                # (0, matched_key): matched key == probe key at every
+                # matching row; col ca keeps its zeros (never written,
+                # chaining_ht.cpp:60-80)
+                cols = cols.at[ca + 1].set(keys)
+            else:
+                cols = cols.at[ca].set(keys)
+        table = self.tables[level]
+        m_entries = max(int(table.keys.shape[0]), 1)
+
+        def drain_step(t, pstate):
+            if self.capacity > 0 and cfg.payload_mode is PayloadMode.FULL:
+                idx = jnp.clip(start.astype(jnp.int32) + t, 0, m_entries - 1)
+                pay = jnp.take(table.payloads, idx)
+                cols_t = cols.at[ca + 1].set(pay)
+            else:
+                cols_t = cols
+            sel, cnt = compress_indices(mult > t)
+            chunk = Chunk(cols_t, sel, cnt)
+
+            if cfg.strategy is CompactionStrategy.NONE:
+                emitted = chunk
+            else:
+                cache = comp.CompactorState(
+                    cache_cols=pstate.cache_cols[level],
+                    cache_count=pstate.cache_count[level],
+                )
+                emitted, new_cache = comp.compact(
+                    cache, chunk, thresholds[level]
+                )
+                pstate = pstate._replace(
+                    cache_cols=pstate.cache_cols.at[level].set(
+                        new_cache.cache_cols
+                    ),
+                    cache_count=pstate.cache_count.at[level].set(
+                        new_cache.cache_count
+                    ),
+                )
+            if cfg.record_occupancy:
+                pstate = pstate._replace(
+                    occupancy=pstate.occupancy.at[level, emitted.count].add(1)
+                )
+            if level == L - 1:
+                return self._collect(pstate, emitted)
+            dense = gather_rows(emitted)
+            return self._run_tree(
+                level + 1, dense, emitted.count, pstate, thresholds
+            )
+
+        F = self._fanout[level]
+        if F == 1:
+            return drain_step(0, pstate)
+        return jax.lax.fori_loop(0, F, drain_step, pstate)
+
+    # ------------------------------------------------------------------
+    # jitted entry points (same signatures as JoinPipeline's, so run()
+    # and the CLI drive both executors identically)
+    # ------------------------------------------------------------------
+
+    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+        W, B = self.width, self.block
+
+        def one_chunk(ps, xs):
+            cols, count = xs  # [n_joins, block], scalar
+            padded = jnp.zeros((W, B), jnp.int64)
+            padded = padded.at[: self.config.n_joins, :].set(cols)
+            extra = None
+            if self.prefilter is not None:
+                extra = self.prefilter(cols[self.prefilter_col])
+            ps = self._run_tree(0, padded, count, ps, thresholds, extra)
+            return ps, None
+
+        pstate, _ = jax.lax.scan(
+            one_chunk, pstate, (chunk_cols, chunk_counts)
+        )
+        return pstate
+
+    def _flush_all(self, pstate, thresholds):
+        """FlushPipelineCache (main.cpp:172-191): level order; refilled
+        deeper caches flush in later iterations."""
+        for level in range(self.n_levels):
+            cache = comp.CompactorState(
+                cache_cols=pstate.cache_cols[level],
+                cache_count=pstate.cache_count[level],
+            )
+            flushed, fresh = comp.flush(cache)
+            pstate = pstate._replace(
+                cache_cols=pstate.cache_cols.at[level].set(fresh.cache_cols),
+                cache_count=pstate.cache_count.at[level].set(
+                    fresh.cache_count
+                ),
+            )
+            if level + 1 == self.n_levels:
+                pstate = self._collect(pstate, flushed)
+            else:
+                pstate = self._run_tree(
+                    level + 1,
+                    flushed.cols,
+                    flushed.count,
+                    pstate,
+                    thresholds,
+                )
+        return pstate

@@ -1,0 +1,198 @@
+"""Sorted-chunk pipelined executor (exec/sorted_pipeline.py) vs the scalar
+oracle — same matrix as test_pipeline.py (strategies, payload modes,
+multiplicities, prefilter, count-only), plus the fused chunk-probe kernel
+in Pallas interpret mode."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+from ccve_tpu.exec.oracle import (
+    OracleBuildTable,
+    assert_same_multiset,
+    oracle_pipeline,
+)
+from ccve_tpu.exec.sorted_pipeline import SortedPipeline
+from ccve_tpu.ops.sort_merge import build_sorted
+
+BLOCK = 128
+
+
+def _setup(n_joins, lhs, rhs, chunk_factor, strategy, payload_mode,
+           block=BLOCK):
+    cfg = EngineConfig(
+        block_size=block,
+        n_joins=n_joins,
+        lhs_size=lhs,
+        rhs_size=rhs,
+        chunk_factor=chunk_factor,
+        strategy=strategy,
+        payload_mode=payload_mode,
+        collect_tuples=True,
+    )
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, chunk_factor)
+    tables = [build_sorted(keys, payloads) for _ in range(n_joins)]
+    oracles = [OracleBuildTable(keys, payloads) for _ in range(n_joins)]
+    expected = oracle_pipeline(probe, oracles, payload_mode)
+    return cfg, probe, tables, expected
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        CompactionStrategy.NONE,
+        CompactionStrategy.FULL,
+        CompactionStrategy.BINARY,
+    ],
+)
+def test_sorted_pipeline_matches_oracle(strategy):
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=700, rhs=96, chunk_factor=2,
+        strategy=strategy, payload_mode=PayloadMode.FULL,
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=8192,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_reference_mode():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=400, rhs=64, chunk_factor=1,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=4096,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    assert (out["rows"][:, cfg.n_joins] == 0).all()
+
+
+def test_sorted_pipeline_dynamic_strategy():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=600, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, threshold_arms=(0, 32, 64, 128), tuner_segment_chunks=2
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=8192,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_three_way_high_multiplicity():
+    cfg, probe, tables, expected = _setup(
+        n_joins=3, lhs=220, rhs=32, chunk_factor=4,
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.FULL,
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=1 << 17,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_count_only():
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=500, rhs=64, chunk_factor=1,
+        strategy=CompactionStrategy.NONE,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(cfg, collect_tuples=False)
+    pipe = SortedPipeline(tables, cfg, use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+
+
+def test_sorted_pipeline_with_prefilter():
+    from ccve_tpu.ops import filter as flt
+
+    cfg = EngineConfig(
+        block_size=BLOCK, n_joins=2, lhs_size=900, rhs_size=96,
+        chunk_factor=2, strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.FULL, collect_tuples=True,
+        record_occupancy=True,
+    )
+    probe = gen_probe_table(900, 2, 96)
+    keys, payloads = gen_rhs_table(96, 2)
+    tables = [build_sorted(keys, payloads) for _ in range(2)]
+    kept = probe[probe[:, 0] % 8 == 0]
+    expected = oracle_pipeline(
+        kept, [OracleBuildTable(keys, payloads)] * 2, PayloadMode.FULL
+    )
+    pipe = SortedPipeline(
+        tables, cfg, result_capacity=8192,
+        prefilter=flt.mod_eq(8, 0), prefilter_col=0, use_kernel=False,
+    )
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    assert out["occupancy"].sum() > 0
+
+
+@pytest.mark.parametrize(
+    "strategy", [CompactionStrategy.NONE, CompactionStrategy.FULL]
+)
+def test_sorted_pipeline_kernel_interpret(strategy):
+    """The fused Pallas chunk-probe kernel (interpret mode on CPU)
+    through the whole executor, duplicates included."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=500, rhs=70, chunk_factor=2,
+        strategy=strategy, payload_mode=PayloadMode.FULL, block=256,
+    )
+    assert all(t.pack32 is not None for t in tables)
+    pipe = SortedPipeline(tables, cfg, result_capacity=8192,
+                          use_kernel=True, interpret=True)
+    assert all(pipe._kernel_level)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_chunk_rank_kernel_interpret():
+    """Unit: kernel (mult, start) vs searchsorted, tables around the
+    block size, partial counts, out-of-range keys, duplicates."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.chunk_probe import (
+        I32_MAX,
+        chunk_rank,
+        stage_table_planes,
+    )
+
+    rng = np.random.default_rng(0)
+    block = 256
+    for m, dom, count in [
+        (500, 400, 256), (30, 400, 170), (256, 256, 0), (700, 10, 256),
+    ]:
+        tk = np.sort(rng.integers(0, dom, m).astype(np.int64))
+        kmin = int(tk.min())
+        keys = rng.integers(-5, dom + 5, block).astype(np.int64)
+        valid = np.arange(block) < count
+        hi = int(tk.max()) - kmin + 2
+        kp = np.clip(keys - kmin + 1, 0, hi)
+        pk = np.where(valid, (kp << 1) | 1, I32_MAX).astype(np.int32)
+        tpk = stage_table_planes(((tk - kmin + 1) << 1).astype(np.int32),
+                                 block)
+        mult, start = chunk_rank(tpk, m, jnp.asarray(pk), interpret=True)
+        mult, start = np.asarray(mult), np.asarray(start)
+        e_start = np.searchsorted(tk, keys, side="left")
+        e_mult = np.where(
+            valid, np.searchsorted(tk, keys, side="right") - e_start, 0
+        )
+        assert np.array_equal(mult, e_mult), (m, dom, count)
+        live = e_mult > 0
+        assert np.array_equal(start[live], e_start[live]), (m, dom, count)
