@@ -35,6 +35,9 @@ from ccve_tpu.ops.hash_table import (
     build_lp,
     csr_probe,
     lp_probe,
+    scan_advance,
+    scan_gather,
+    scan_match,
     scan_next,
 )
 
@@ -46,6 +49,7 @@ class VariantResult:
     n_keys: int
     tuples: int
     phase_seconds: dict | None = None
+    phase_profiler: object = None
 
     @property
     def ns_per_key(self) -> float:
@@ -144,6 +148,102 @@ def run_staged_variant(
     )
 
 
+def run_phased_variant(
+    table, keys_dev, block: int, name: str, max_iters: int = 512
+) -> VariantResult:
+    """4-phase attribution — the reference's CycleProfiler report
+    (profiler.h:264-290; simd_micro_bench.cpp:108-116 prints cycles/key
+    for hash / match / gather / advance). rdtsc-around-inner-loops is
+    meaningless under XLA fusion, so each phase runs as its OWN jitted
+    dispatch over the whole chunk grid (ops/hash_table.scan_match /
+    scan_gather / scan_advance), one dispatch triple per drain round,
+    timed with the honest one-leaf readback sync. Results accumulate in
+    a `utils.profiler.PhaseProfiler` (returned via `.phase_profiler`)
+    with approximate roofline byte counts (16 B/item: one 8 B key read +
+    one 8 B state touch per live row per phase)."""
+    from ccve_tpu.utils.profiler import PhaseProfiler
+
+    n = keys_dev.shape[0]
+    n_chunks = n // block
+    keys_grid = keys_dev[: n_chunks * block].reshape(n_chunks, block)
+    is_lp = "lp" in name
+    prober = lp_probe if is_lp else csr_probe
+    sel = iota_sel(block)
+    cnt = jnp.asarray(block, jnp.int32)
+    prof = PhaseProfiler()
+
+    @jax.jit
+    def hash_all(kg):
+        def one(_, k):
+            return None, prober(table, k, sel, cnt)
+
+        _, states = jax.lax.scan(one, None, kg)
+        return states
+
+    @jax.jit
+    def match_all(kg, states):
+        def one(_, xs):
+            k, st = xs
+            rv, rc = scan_match(table, k, st)
+            return None, (rv, rc)
+
+        _, (rvs, rcs) = jax.lax.scan(one, None, (kg, states))
+        return rvs, rcs, rcs.astype(jnp.int64).sum()
+
+    @jax.jit
+    def gather_all(states, rvs):
+        def one(_, xs):
+            st, rv = xs
+            mk, mp = scan_gather(table, st, rv)
+            return None, mk[0] + mp[0]
+
+        _, checks = jax.lax.scan(one, None, (states, rvs))
+        return checks.sum()
+
+    @jax.jit
+    def advance_all(states):
+        def one(_, st):
+            return None, scan_advance(table, st)
+
+        _, new_states = jax.lax.scan(one, None, states)
+        return new_states, new_states.count.astype(jnp.int64).sum()
+
+    t0 = time.perf_counter()
+    states = _sync(hash_all(keys_grid))
+    prof.record("hash", time.perf_counter() - t0, n, 16 * n)
+
+    tuples = 0
+    live = int(states.count.astype(jnp.int64).sum())
+    iters = 0
+    while live > 0 and iters < max_iters:
+        t0 = time.perf_counter()
+        rvs, rcs, total = match_all(keys_grid, states)
+        matched = int(total)  # readback = the sync
+        prof.record("match", time.perf_counter() - t0, live, 16 * live)
+        tuples += matched
+
+        t0 = time.perf_counter()
+        chk = int(gather_all(states, rvs))  # checksum keeps it live
+        prof.record("gather", time.perf_counter() - t0, matched,
+                    16 * matched)
+
+        t0 = time.perf_counter()
+        states, nlive = advance_all(states)
+        live = int(nlive)
+        prof.record("advance", time.perf_counter() - t0, live + matched,
+                    16 * (live + matched))
+        iters += 1
+
+    return VariantResult(
+        name=name,
+        seconds=sum(s.seconds for s in prof.stats().values()),
+        n_keys=n_chunks * block,
+        tuples=tuples,
+        phase_seconds={p: s.seconds for p, s in prof.stats().items()},
+        phase_profiler=prof,
+    )
+
+
 def run_micro_bench(
     scale: int = 0, hit_freq: int = 1, chunk_factor: int = 1, n_keys: int | None = None
 ) -> list[VariantResult]:
@@ -167,6 +267,8 @@ def run_micro_bench(
         run_bulk_variant(csr, keys_dev, "bulk_fused_csr"),
         run_staged_variant(lp, keys_dev, block, "staged_scan_lp"),
         run_staged_variant(csr, keys_dev, block, "staged_scan_csr"),
+        run_phased_variant(lp, keys_dev, block, "phased_lp"),
+        run_phased_variant(csr, keys_dev, block, "phased_csr"),
     ]
     counts = {r.tuples for r in results}
     assert len(counts) == 1, f"variant tuple counts disagree: {counts}"
@@ -186,4 +288,8 @@ def report(results: list[VariantResult]) -> str:
             f" {r.name:18s} {r.ns_per_key:8.3f} ns/key  "
             f"#tuples {r.tuples}{phases}"
         )
+        if r.phase_profiler is not None:
+            # the reference's CycleProfiler table
+            # (simd_micro_bench.cpp:108-116), ns/key instead of cycles
+            lines.append(r.phase_profiler.report(total_items=r.n_keys))
     return "\n".join(lines)

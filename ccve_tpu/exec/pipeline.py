@@ -512,21 +512,33 @@ class JoinPipeline:
             occupancy=jnp.asarray(np.asarray(pstate.occupancy).sum(0)),
         )
 
-    def export_occupancy(self, occupancy: np.ndarray) -> None:
+    def export_occupancy(
+        self, occupancy: np.ndarray, total_seconds: float = 0.0
+    ) -> None:
         """Feed the device-recorded per-level occupancy histograms into
         the ZebraProfiler (the reference's chunk-size histograms,
-        profiler.h:178-237; CSV via ZebraProfiler.to_csv)."""
+        profiler.h:178-237; CSV via ZebraProfiler.to_csv).
+
+        Per-chunk device latency is not observable through the relay, so
+        the run's total time is apportioned uniformly per recorded step —
+        an ESTIMATE: each work-loop step costs roughly the same (the loop
+        is latency-bound at one fixed-shape op chain per step, which is
+        precisely why small chunks are wasteful — the reference's Zebra
+        conclusion, profiler.h:170-260)."""
         from ccve_tpu.utils.profiler import ZebraProfiler
 
         zebra = ZebraProfiler.get()
         if not zebra.enabled:
             return
+        total_steps = int(occupancy.sum())
+        per_step = total_seconds / total_steps if total_steps else 0.0
         for level in range(self.n_levels):
             name = f"level{level}_{self.config.strategy.value}"
             hist = occupancy[level]
             for occ in np.nonzero(hist)[0]:
-                # counts only (device time is not attributable per chunk)
-                zebra._hists[name][int(occ)][1] += int(hist[occ])
+                cell = zebra._hists[name][int(occ)]
+                cell[0] += per_step * int(hist[occ])
+                cell[1] += int(hist[occ])
 
     def static_thresholds(self) -> np.ndarray:
         if self.config.strategy is CompactionStrategy.DYNAMIC:
@@ -665,7 +677,7 @@ class JoinPipeline:
             "chunks": n_chunks,
             "occupancy": np.asarray(pstate.occupancy),
         }
-        self.export_occupancy(out["occupancy"])
+        self.export_occupancy(out["occupancy"], total_seconds=seconds)
         if cfg.collect_tuples:
             stored = int(pstate.result_stored)
             out["rows"] = np.asarray(pstate.result_rows[:, :stored]).T

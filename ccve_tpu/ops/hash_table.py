@@ -381,6 +381,71 @@ class NextResult(NamedTuple):
     state: ScanState  # advanced cursor state
 
 
+def _scan_live_mask(state: ScanState, block: int) -> jax.Array:
+    """bool[block]: True exactly at the live input rows — scatter True
+    through the first `count` entries of sel (stale entries routed to the
+    dropped row `block`)."""
+    idx = jnp.arange(block, dtype=jnp.int32)
+    return mv.put1(
+        jnp.zeros(block, jnp.int32),
+        jnp.where(idx < state.count, state.sel, block),
+        jnp.ones(block, jnp.int32),
+    ) > 0
+
+
+def scan_match(table: LPTable | CSRTable, keys: jax.Array, state: ScanState):
+    """Match phase alone — ScanInnerJoin (CycleProfiler slot 1,
+    chaining_ht.cpp:82-107 / linear_probing_ht.cpp:69-82): compare each
+    live row's current entry, compress matching rows. Used by the
+    4-phase micro-bench attribution (bench/micro.run_phased_variant);
+    the production executor uses the fused `scan_next`."""
+    block = keys.shape[0]
+    live = _scan_live_mask(state, block)
+    if isinstance(table, LPTable):
+        cand = mv.take1(table.slot_keys, state.cursor)
+        has_entry = cand != EMPTY
+    else:
+        n_entries = max(table.entry_keys.shape[0], 1)
+        safe = jnp.clip(state.cursor, 0, n_entries - 1).astype(jnp.int32)
+        cand = mv.take1(table.entry_keys, safe)
+        has_entry = state.cursor < state.end
+    return _compress(live & has_entry & (cand == keys))
+
+
+def scan_gather(
+    table: LPTable | CSRTable, state: ScanState, result_vector: jax.Array
+):
+    """Gather phase alone — GatherResult (CycleProfiler slot 2,
+    chaining_ht.cpp:126-136): read the matched rows' current entries."""
+    cur = mv.take1(state.cursor, result_vector.astype(jnp.int32))
+    if isinstance(table, LPTable):
+        kp = mv.take_cols(
+            jnp.stack([table.slot_keys, table.slot_payloads]), cur
+        )
+    else:
+        n_entries = max(table.entry_keys.shape[0], 1)
+        safe = jnp.clip(cur, 0, n_entries - 1).astype(jnp.int32)
+        kp = mv.take_cols(
+            jnp.stack([table.entry_keys, table.entry_payloads]), safe
+        )
+    return kp[0], kp[1]
+
+
+def scan_advance(table: LPTable | CSRTable, state: ScanState) -> ScanState:
+    """Advance phase alone — AdvancePointers (CycleProfiler slot 3,
+    chaining_ht.cpp:109-124): step cursors, drop exhausted rows."""
+    block = state.sel.shape[0]
+    live = _scan_live_mask(state, block)
+    if isinstance(table, LPTable):
+        nxt = (state.cursor + 1) & jnp.int64(table.n_slots - 1)
+        still = live & (mv.take1(table.slot_keys, nxt) != EMPTY)
+    else:
+        nxt = state.cursor + 1
+        still = live & (nxt < state.end)
+    new_sel, new_count = _compress(still)
+    return ScanState(cursor=nxt, end=state.end, sel=new_sel, count=new_count)
+
+
 def scan_next(
     table: LPTable | CSRTable,
     keys: jax.Array,

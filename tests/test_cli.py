@@ -57,9 +57,19 @@ def test_cli_bulk_executor_smoke(capsys):
 
 def test_micro_bench_variants_agree():
     results = run_micro_bench(scale=0, hit_freq=1, chunk_factor=1, n_keys=1 << 13)
-    assert len(results) == 4
+    assert len(results) == 6
     counts = {r.tuples for r in results}
     assert len(counts) == 1
+    # the phased variants carry the reference CycleProfiler's 4 slots
+    # (hash / match / gather / advance, profiler.h:285-289) with nonzero
+    # time in each
+    phased = [r for r in results if r.phase_profiler is not None]
+    assert len(phased) == 2
+    for r in phased:
+        stats = r.phase_profiler.stats()
+        assert set(stats) == {"hash", "match", "gather", "advance"}
+        assert all(s.seconds > 0 for s in stats.values())
+        assert "ns/item" in r.phase_profiler.report(total_items=r.n_keys)
 
 
 def test_roofline_report():
