@@ -124,6 +124,28 @@ def config2_filtered_join(
             "seconds": r["seconds"],
             "rows_per_s": lhs / r["seconds"],
         }
+
+    # the TPU-native chunk-at-a-time executor (exec/sorted_pipeline.py):
+    # same chunk/compaction semantics, fused chunk-probe kernel
+    from ccve_tpu.exec.sorted_pipeline import SortedPipeline
+    from ccve_tpu.ops.sort_merge import build_sorted
+
+    st = build_sorted(keys, payloads)
+    cfg = EngineConfig(
+        block_size=block, n_joins=n_joins, lhs_size=lhs, rhs_size=rhs,
+        chunk_factor=2, strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    spipe = SortedPipeline(
+        [st], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
+    )
+    spipe.run(probe)
+    r = spipe.run(probe)
+    assert r["count"] == expected, ("sorted", r["count"], expected)
+    out["sorted_full"] = {
+        "seconds": r["seconds"],
+        "rows_per_s": lhs / r["seconds"],
+    }
     return out
 
 
@@ -193,6 +215,23 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
         r = pipe.run(probe)
         assert r["count"] == expected, (strategy, r["count"], expected)
         out[strategy.value] = {
+            "seconds": r["seconds"],
+            "rows_per_s": lhs / r["seconds"],
+        }
+
+    # TPU-native chunk-at-a-time executor over the same 4 levels
+    from ccve_tpu.exec.sorted_pipeline import SortedPipeline
+
+    for strategy in (CompactionStrategy.NONE, CompactionStrategy.FULL):
+        cfg = EngineConfig(
+            block_size=block, n_joins=n_joins, lhs_size=lhs, rhs_size=rhs,
+            strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+        )
+        spipe = SortedPipeline(stables, cfg)
+        spipe.run(probe)
+        r = spipe.run(probe)
+        assert r["count"] == expected, ("sorted", strategy, r["count"])
+        out[f"sorted_{strategy.value}"] = {
             "seconds": r["seconds"],
             "rows_per_s": lhs / r["seconds"],
         }

@@ -35,13 +35,17 @@ def _add_pipeline(sub):
         choices=["lp", "csr", "sorted"],
         default="csr",
         help="build-table kind; 'sorted' (the TPU-native sort-merge "
-        "probe engine, ops/sort_merge.py) requires --executor bulk",
+        "probe engine, ops/sort_merge.py) pairs with --executor "
+        "bulk or sorted",
     )
     p.add_argument(
         "--executor",
-        choices=["pipeline", "bulk"],
+        choices=["pipeline", "bulk", "sorted"],
         default="pipeline",
-        help="chunk-at-a-time pipelined executor or bulk operator-at-a-time",
+        help="'pipeline': chunk-at-a-time cursor executor (the parity "
+        "engine); 'bulk': operator-at-a-time; 'sorted': chunk-at-a-time "
+        "over sorted tables via the fused chunk-probe kernel "
+        "(exec/sorted_pipeline.py — the TPU-native executor)",
     )
     p.add_argument("--payload", choices=["reference", "full"], default="reference")
     p.add_argument("--collect-tuples", action="store_true")
@@ -138,12 +142,15 @@ def cmd_pipeline(args) -> int:
         file=sys.stderr,
     )
 
-    if args.table == "sorted" and args.executor != "bulk":
+    if args.table == "sorted" and args.executor == "pipeline":
         print(
-            "--table sorted requires --executor bulk (the pipelined "
-            "executor's ScanStructure is a hash-table cursor)",
+            "--table sorted pairs with --executor bulk or sorted (the "
+            "pipelined executor's ScanStructure is a hash-table cursor)",
             file=sys.stderr,
         )
+        return 2
+    if args.executor == "sorted" and args.table != "sorted":
+        print("--executor sorted requires --table sorted", file=sys.stderr)
         return 2
 
     bee = BeeProfiler.get()
@@ -167,9 +174,14 @@ def cmd_pipeline(args) -> int:
         count = int(res.count)
         elapsed = time.perf_counter() - t0
     else:
-        from ccve_tpu.exec.pipeline import JoinPipeline
+        if args.executor == "sorted":
+            from ccve_tpu.exec.sorted_pipeline import SortedPipeline
 
-        pipe = JoinPipeline(tables, cfg)
+            pipe = SortedPipeline(tables, cfg)
+        else:
+            from ccve_tpu.exec.pipeline import JoinPipeline
+
+            pipe = JoinPipeline(tables, cfg)
         out = pipe.run(probe, segment_chunks=args.segment_chunks)
         count, elapsed = out["count"], out["seconds"]
 
