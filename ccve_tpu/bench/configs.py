@@ -340,10 +340,97 @@ def config5_distributed(n_build=100_000, n_probe=1_000_000, n_devices=None):
     }
 
 
+def config6_mixed_selectivity(
+    lhs=2_000_000,
+    rhs=50_000,
+    block=2048,
+    phase_chunks=128,
+    mod=10,
+    segment_chunks=16,
+    log_dir=None,
+):
+    """Phase-alternating selectivity — the adaptive-compaction showcase.
+
+    The probe stream alternates phases every `phase_chunks` chunks: in
+    phase A, column 0 holds multiples of `mod` (the prefilter passes
+    ~100% → level-0 chunks stay nearly full → compaction is pure copy
+    overhead, threshold 0 is best); in phase B column 0 is uniform (the
+    filter passes ~1/mod → tiny chunks cascade into level 1 → full
+    compaction is best). No static threshold wins both phases; the
+    DYNAMIC strategy's bandit (UCB1-tuned with change-detection restarts,
+    negative_feedback.hpp:67-81) re-converges each phase. Per-level
+    credit assignment uses coordinate exploration (exec/pipeline.run).
+    """
+    from ccve_tpu.core.datagen import gen_rhs_table
+    from ccve_tpu.exec.oracle import OracleBuildTable, oracle_pipeline
+    from ccve_tpu.exec.pipeline import JoinPipeline
+    from ccve_tpu.control.bandit import CompactTuner
+    from ccve_tpu.ops import filter as flt
+    from ccve_tpu.ops.hash_table import build_csr
+
+    n_joins = 2
+    rng = np.random.default_rng(7)
+    probe = np.empty((lhs, n_joins), np.int64)
+    phase_rows = phase_chunks * block
+    phase = (np.arange(lhs) // phase_rows) % 2
+    n_a = int((phase == 0).sum())
+    probe[:, 0] = rng.integers(0, rhs, lhs)
+    probe[phase == 0, 0] = (
+        rng.integers(0, rhs // mod, n_a) * mod
+    )  # phase A: all pass x % mod == 0
+    probe[:, 1] = rng.integers(0, rhs, lhs)
+
+    keys, payloads = gen_rhs_table(rhs, 1)
+    tables = [build_csr(keys, payloads) for _ in range(n_joins)]
+    kept = probe[probe[:, 0] % mod == 0]
+    expected = oracle_pipeline(
+        kept, [OracleBuildTable(keys, payloads)] * n_joins,
+        PayloadMode.REFERENCE,
+    ).shape[0]
+
+    out = {
+        "name": "config6_mixed_selectivity",
+        "expected": expected,
+        "phase_chunks": phase_chunks,
+    }
+    for strategy in (
+        CompactionStrategy.NONE,
+        CompactionStrategy.FULL,
+        CompactionStrategy.DYNAMIC,
+    ):
+        cfg = EngineConfig(
+            block_size=block, n_joins=n_joins, lhs_size=lhs, rhs_size=rhs,
+            strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+            tuner_segment_chunks=segment_chunks,
+        )
+        pipe = JoinPipeline(
+            tables, cfg, prefilter=flt.mod_eq(mod, 0)
+        )
+        tuner = CompactTuner() if strategy is CompactionStrategy.DYNAMIC else None
+        pipe.run(probe, tuner=tuner)  # warm-up: compiles + bandit warm start
+        r = pipe.run(probe, tuner=tuner)
+        assert r["count"] == expected, (strategy, r["count"], expected)
+        out[strategy.value] = {
+            "seconds": r["seconds"],
+            "rows_per_s": lhs / r["seconds"],
+        }
+        if tuner is not None and log_dir:
+            tuner.reset(enable_log=True, log_dir=log_dir)
+            out["bandit_log"] = log_dir
+    best_static = min(
+        out["no_compaction"]["seconds"], out["full_compaction"]["seconds"]
+    )
+    out["dynamic_vs_best_static"] = (
+        best_static / out["dynamic_compaction"]["seconds"]
+    )
+    return out
+
+
 ALL_CONFIGS = {
     1: config1_single_join,
     2: config2_filtered_join,
     3: config3_four_way,
     4: config4_zipf_pipeline,
     5: config5_distributed,
+    6: config6_mixed_selectivity,
 }

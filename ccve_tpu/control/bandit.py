@@ -79,6 +79,16 @@ class MultiArmedBandit:
         # matches C++ sqrt() domain behavior loosely: guard the nan/neg case
         return math.sqrt(inner) if inner == inner and inner >= 0 else 0.0
 
+    def greedy_arm(self) -> int:
+        """Exploit-only pick: best estimated reward, no counters touched.
+        Used for the NON-explored levels under coordinate exploration
+        (exec/pipeline.run): the reference times every level on the host
+        per call (main.cpp:143-167 — its executor is synchronous), but a
+        single-dispatch device program yields ONE segment time, so only
+        one level's bandit explores (and is credited) per segment while
+        the rest hold their current best arm."""
+        return max(range(self.n_arms), key=lambda i: self.est_rewards[i])
+
     def update_arm(self, arm: int, reward: float) -> None:
         # heartbeat: change detection + history (negative_feedback.hpp:67-81)
         if (
@@ -154,6 +164,10 @@ class CompactTuner:
     def select_arm(self, bandit_id: int) -> int:
         """Returns the threshold VALUE for this level's next segment."""
         return self._values[bandit_id][self._bandits[bandit_id].select_arm()]
+
+    def greedy_arm(self, bandit_id: int) -> int:
+        """Exploit-only threshold VALUE (see MultiArmedBandit.greedy_arm)."""
+        return self._values[bandit_id][self._bandits[bandit_id].greedy_arm()]
 
     def update_arm(self, bandit_id: int, threshold: int, reward: float) -> None:
         idx = self._value_index[bandit_id].get(threshold)

@@ -570,9 +570,27 @@ class JoinPipeline:
                 tuner.reset()
                 for level in range(self.n_levels):
                     tuner.initialize(level, cfg.threshold_arms)
-            thresholds = np.array(
-                [tuner.select_arm(l) for l in range(self.n_levels)], np.int32
-            )
+            # COORDINATE EXPLORATION: one segment time cannot be split
+            # across levels (the reference's per-level host timers,
+            # main.cpp:143-167, need its synchronous executor), so each
+            # segment explores exactly ONE level's bandit — which then
+            # receives the whole segment reward — while the other levels
+            # exploit their current best arm. Round-robin over levels;
+            # collapses to the reference's behavior at n_levels == 1.
+            explore_level = 0
+
+            def pick_thresholds():
+                return np.array(
+                    [
+                        tuner.select_arm(l)
+                        if l == explore_level
+                        else tuner.greedy_arm(l)
+                        for l in range(self.n_levels)
+                    ],
+                    np.int32,
+                )
+
+            thresholds = pick_thresholds()
         else:
             thresholds = self.static_thresholds()
 
@@ -654,14 +672,13 @@ class JoinPipeline:
                 np.asarray(jax.device_get(pstate.result_count))
                 seg_time = (time.perf_counter() - seg_t0) / ((s1 - s0) * K)
                 # reference reward shape: 2 / per-chunk-time / 1e3
-                # (main.cpp:164-166)
+                # (main.cpp:164-166); credited to the explored level only
                 reward = 2.0 / max(seg_time, 1e-12) / 1e3
-                for level in range(self.n_levels):
-                    tuner.update_arm(level, int(thresholds[level]), reward)
-                thresholds = np.array(
-                    [tuner.select_arm(l) for l in range(self.n_levels)],
-                    np.int32,
+                tuner.update_arm(
+                    explore_level, int(thresholds[explore_level]), reward
                 )
+                explore_level = (explore_level + 1) % self.n_levels
+                thresholds = pick_thresholds()
         if cfg.strategy is not CompactionStrategy.NONE:
             pstate = self._flush(pstate, jnp.asarray(thresholds))
         # honest end-of-run sync: one scalar readback (block_until_ready

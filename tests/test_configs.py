@@ -42,3 +42,15 @@ def test_config5_tiny():
     r = configs.config5_distributed(n_build=2048, n_probe=20_000, n_devices=4)
     assert not r["overflow"]
     assert r["scaling_efficiency"] > 0
+
+
+def test_config6_tiny(tmp_path):
+    r = configs.config6_mixed_selectivity(
+        lhs=8000, rhs=256, block=256, phase_chunks=8, mod=4,
+        segment_chunks=2, log_dir=str(tmp_path),
+    )
+    assert r["no_compaction"]["seconds"] > 0
+    assert r["full_compaction"]["seconds"] > 0
+    assert r["dynamic_compaction"]["seconds"] > 0
+    # counts already asserted inside; bandit history CSV written
+    assert any(p.suffix == ".csv" for p in tmp_path.iterdir())
