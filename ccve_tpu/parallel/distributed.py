@@ -794,6 +794,186 @@ class DistExpandResult(NamedTuple):
         return np.concatenate(out, axis=0)
 
 
+class DistPipelineResult(NamedTuple):
+    """Materialized distributed N-WAY join output, sharded: on shard p,
+    the slots with rid >= 0 are valid output rows. `rid` is the global
+    probe-row id; `payloads[l]` the level-l matched build payload (the
+    matched KEY is the probe's own column l — equi-join). `total` is the
+    exact global match count."""
+
+    rid: jax.Array  # int64[n_parts * S] global probe-row ids, -1 dead
+    payloads: jax.Array  # int64[n_levels, n_parts * S]
+    counts: jax.Array  # int64[n_parts]
+    total: jax.Array  # int64
+    overflow: jax.Array  # bool
+
+    def materialize(self, probe_rows: np.ndarray, payload_mode) -> np.ndarray:
+        """Host view in the executor's row layout (exec/oracle.py):
+        [probe cols..., per-level (0, key) | (key, payload)]."""
+        from ccve_tpu.config import PayloadMode
+
+        probe_rows = np.asarray(probe_rows)
+        rid = np.asarray(self.rid)
+        pays = np.asarray(self.payloads)
+        valid = rid >= 0
+        rid_v = rid[valid]
+        n_levels = pays.shape[0]
+        cols = [probe_rows[rid_v]]
+        for l in range(n_levels):
+            key_l = probe_rows[rid_v, l]
+            if payload_mode is PayloadMode.REFERENCE:
+                cols.append(np.zeros_like(key_l)[:, None])
+                cols.append(key_l[:, None])
+            else:
+                cols.append(key_l[:, None])
+                cols.append(pays[l, valid][:, None])
+        return np.concatenate(cols, axis=1)
+
+
+def dist_pipeline_expand(
+    mesh: Mesh,
+    ptables: Sequence[PartitionedTables],
+    probe_rows: np.ndarray | jax.Array,
+    cap_slack: float = 2.0,
+) -> DistPipelineResult:
+    """Distributed MATERIALIZING N-way join — the reference pipeline's
+    full output (main.cpp:119-191) across the mesh, not just counts.
+
+    A cascade of radix-shuffled expansions: at level l every live
+    partial row is routed to the owner of its level-l key (cargo: the
+    global probe-row id + the matched payloads of levels < l; the
+    remaining key columns are re-read on the host side of nothing —
+    they ride as planes), expanded gather-free against the owner's
+    shard (`sorted_expand`), and the survivors proceed to level l+1.
+    Output stays sharded where the LAST level expanded it; the triple
+    multiset equals the single-chip `oracle_pipeline` exactly
+    (tests/test_distributed.py, CPU mesh).
+
+    Capacities are static worst cases (each level's expansion buffer =
+    what its shuffle can deliver x the level's max multiplicity), so
+    only send-bucket overflow can invalidate results — reported, as in
+    `dist_bulk_count`."""
+    for pt in ptables:
+        if pt.kind != "sorted":
+            raise ValueError("dist_pipeline_expand needs 'sorted' partitions")
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    n_parts = mesh.devices.size
+    probe = jnp.asarray(probe_rows, jnp.int64)
+    n, n_levels = probe.shape
+    assert n_levels == len(ptables)
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate(
+            [probe, jnp.full((pad, n_levels), -2, jnp.int64)]
+        )
+
+    # static per-shard state size per level (S[0] holds the probe shard)
+    S = [per_dev]
+    caps = []  # per-level send-bucket capacity
+    for l, pt in enumerate(ptables):
+        c = max(int(S[l] / n_parts * cap_slack) + 8, 16)
+        c = min(c, S[l])
+        caps.append(c)
+        S.append(n_parts * c * max(int(pt.max_bound), 1))
+
+    probe_sharded = jax.device_put(probe, NamedSharding(mesh, P(AXIS, None)))
+    in_specs = (
+        tuple(jax.tree.map(lambda _: P(AXIS), pt.arrays) for pt in ptables),
+        P(AXIS, None),
+    )
+    out_specs = (P(AXIS), P(AXIS), P(AXIS), P(), P())
+    table_leaves = tuple(pt.arrays for pt in ptables)
+
+    def spmd(table_leaves, probe_local):  # [per_dev, n_levels]
+        P_ = jax.lax.axis_size(AXIS)
+        d = jax.lax.axis_index(AXIS)
+        rid = d * per_dev + jnp.arange(per_dev, dtype=jnp.int64)
+        rid = jnp.where(probe_local[:, 0] == -2, jnp.int64(-1), rid)
+        kcols = [probe_local[:, l] for l in range(n_levels)]
+        mpays = []  # matched payloads of completed levels
+        overflow = jnp.zeros((), jnp.int32)
+
+        for l, pt in enumerate(ptables):
+            cap = caps[l]
+            k = jnp.where(rid >= 0, kcols[l], jnp.int64(-2))
+            sz = k.shape[0]
+            owner = _owner_jnp(k, P_)
+            dead = rid < 0
+            rr = jnp.arange(sz, dtype=jnp.int32) % P_
+            owner = jnp.where(dead, rr, owner)
+
+            order = jnp.argsort(owner, stable=True)
+            owner_sorted = jnp.take(owner, order)
+            counts = jnp.zeros(P_, jnp.int32).at[owner].add(1)
+            offs = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+            )
+            pos = jnp.arange(sz, dtype=jnp.int32) - jnp.take(
+                offs, owner_sorted
+            )
+            overflow = jnp.maximum(
+                overflow, jnp.any(counts > cap).astype(jnp.int32)
+            )
+            safe_pos = jnp.where(pos < cap, pos, cap - 1)
+
+            def route(vals, fill):
+                send = jnp.full((P_, cap), fill, jnp.int64)
+                send = send.at[owner_sorted, safe_pos].set(
+                    jnp.take(vals, order)
+                )
+                return jax.lax.all_to_all(
+                    send, AXIS, split_axis=0, concat_axis=0
+                ).reshape(-1)
+
+            recv_k = route(k, -2)
+            recv_rid = route(rid, -1)
+            recv_kcols = [
+                route(kcols[j], -2) for j in range(l + 1, n_levels)
+            ]
+            recv_pays = [route(mp, 0) for mp in mpays]
+
+            local = pt.local_table(tuple(a[0] for a in table_leaves[l]))
+            capx = S[l + 1]
+            ridx, _mk, mpay_l, _tot = sorted_expand(local, recv_k, capx)
+            src_idx = jnp.clip(ridx, 0, P_ * cap - 1)
+            live = ridx >= 0
+
+            def expand_cargo(vals, fill):
+                g = jnp.take(vals, src_idx, mode="clip")
+                return jnp.where(live, g, jnp.int64(fill))
+
+            rid = expand_cargo(recv_rid, -1)
+            # dead received slots (pad/-2) never match, but guard anyway
+            rid = jnp.where(live, rid, jnp.int64(-1))
+            kcols = [jnp.zeros((capx,), jnp.int64)] * (l + 1) + [
+                expand_cargo(kc, -2) for kc in recv_kcols
+            ]
+            mpays = [expand_cargo(mp, 0) for mp in recv_pays]
+            mpays.append(jnp.where(rid >= 0, mpay_l, 0))
+
+        count_local = jnp.sum((rid >= 0).astype(jnp.int64))
+        total = jax.lax.psum(count_local, AXIS)
+        over = jax.lax.pmax(overflow, AXIS) > 0
+        pays = jnp.stack(
+            [jnp.where(rid >= 0, mp, 0) for mp in mpays]
+        )  # [L, S_final]
+        return rid, pays.T, count_local[None], total, over
+
+    f = jax.jit(
+        jax.shard_map(spmd, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+    rid, pays_t, counts, total, overflow = f(table_leaves, probe_sharded)
+    return DistPipelineResult(
+        rid=rid,
+        payloads=pays_t.T,
+        counts=counts,
+        total=total,
+        overflow=overflow,
+    )
+
+
 def dist_bulk_expand(
     mesh: Mesh,
     ptable: PartitionedTables,

@@ -252,3 +252,41 @@ def test_dist_expand_matches_single_chip(n_devices):
     assert int(res.total) == int(t0) == len(ref)
     got = sorted(tuple(t) for t in res.triples().tolist())
     assert got == ref
+
+
+@pytest.mark.parametrize("payload_mode", ["reference", "full"])
+def test_dist_pipeline_expand_matches_oracle(payload_mode):
+    """N=3-level distributed MATERIALIZED join == oracle_pipeline as a
+    row multiset — the north star's bit-identical-results bar for the
+    full N-way pipeline, not one level."""
+    from ccve_tpu.config import PayloadMode
+    from ccve_tpu.exec.oracle import (
+        OracleBuildTable,
+        assert_same_multiset,
+        oracle_pipeline,
+    )
+    from ccve_tpu.parallel.distributed import dist_pipeline_expand
+
+    mode = (
+        PayloadMode.REFERENCE
+        if payload_mode == "reference"
+        else PayloadMode.FULL
+    )
+    rng = np.random.default_rng(29)
+    mesh = make_join_mesh(4)
+    n_levels = 3
+    keys, payloads = gen_rhs_table(48, 2)  # multiplicity 2
+    probe = rng.integers(0, 96, (600, n_levels)).astype(np.int64)
+
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_levels, mode
+    )
+    ptables = [
+        partition_tables(keys, payloads, 4, "sorted", mesh)
+        for _ in range(n_levels)
+    ]
+    res = dist_pipeline_expand(mesh, ptables, probe, cap_slack=8.0)
+    assert not bool(res.overflow)
+    assert int(res.total) == expected.shape[0]
+    rows = res.materialize(probe, mode)
+    assert_same_multiset(rows, expected)
