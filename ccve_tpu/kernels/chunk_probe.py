@@ -9,8 +9,11 @@ AVX-512 gather workload a TPU cannot do. Here the whole chunk is probed
 in ONE sorted-merge pass, the same formulation the bulk engine uses
 (ops/sort_merge.py), shrunk to chunk granularity:
 
-  1. the chunk's packed keys arrive PRE-SORTED DESCENDING (an XLA
-     2048-element sort is a few us) with their row ids as cargo;
+  1. grid step 0 Batcher-sorts the chunk's packed keys DESCENDING
+     in-register (ascending sort of the complement; row ids ride as
+     cargo) into persistent VMEM scratch — measured on chip, the
+     XLA alternative (two flat 2048-element lax.sorts around the
+     kernel) costs ~350 us/step, ~40x the whole in-kernel budget;
   2. the kernel merges them into the staged sorted table with a
      SEQUENTIAL CARRIED TILE MERGE: SMEM cursors (a_pos, b_pos) walk the
      two sorted streams one output tile per grid step — each step loads
@@ -28,9 +31,9 @@ in ONE sorted-merge pass, the same formulation the bulk engine uses
      sorted table, since the j-th build element of the merged stream IS
      table row j);
   4. probe entries are butterfly-compacted out of the tile and appended
-     to a VMEM ring (exactly `block` of them across the whole stream),
-     emitted on the last grid step in merged order with their row-id
-     plane — the caller unsorts with one more tiny XLA sort.
+     to a VMEM ring (exactly `block` of them across the whole stream);
+     the last grid step Batcher-unsorts the ring by its row-id plane and
+     writes (mult, start) in original row order.
 
 Packing convention (ops/sort_merge.pack32): key' = key - kmin + 1
 clamped to [0, range+1], table operand = key' << 1 (even), probe
@@ -52,7 +55,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ccve_tpu.kernels import flatvec as fv
-from ccve_tpu.kernels.bigsort import I32_MAX, _VMEM_BIG, _bitonic_stage
+from ccve_tpu.kernels.bigsort import I32_MAX, _VMEM_BIG
+from ccve_tpu.kernels.pairsort import _ce_stage_multi
 
 I32_MIN = fv.I32_MIN
 
@@ -80,17 +84,30 @@ def _bitonic_stage_pair(k, v, idx, k_log: int, R: int):
 
 def _make_chunk_rank_kernel(R: int, m: int, n_tiles: int):
     """R = block/128. Table has m real entries; buffer padded with
-    I32_MAX to >= m + (R+1)*128 elements. Grid = (n_tiles,) sequential."""
+    I32_MAX to >= m + (R+8)*128 elements. Grid = (n_tiles,) sequential."""
     tile = R * 128
     tile_log = tile.bit_length() - 1
-    Rw = R + 1
+    # +8 slack rows: Mosaic's dynamic rotate needs sublane-aligned (x8)
+    # shapes (same reason the merge kernels use R + 8 windows)
+    Rw = R + 8
 
-    def kernel(tpk_ref, sbk_ref, sbr_ref, mult_ref, start_ref, rid_ref,
-               ring_m, ring_s, ring_r, carry):
+    def kernel(tpk_ref, pk_ref, mult_ref, start_ref,
+               sbk_ref, sbr_ref, ring_m, ring_s, ring_r, carry):
         t = pl.program_id(0)
+        flat = fv.flat_index(R)
 
         @pl.when(t == 0)
         def _():
+            # in-register Batcher presort, DESCENDING by complement
+            # (ascending-sort of ~x is descending-sort of x,
+            # kernels/bigsort.py's alt trick), row ids as cargo
+            k0 = ~pk_ref[:]
+            vs0 = [flat]
+            for p_log in range(tile_log):
+                for k_log in range(p_log, -1, -1):
+                    k0, vs0 = _ce_stage_multi(k0, vs0, flat, p_log, k_log, R)
+            sbk_ref[...] = ~k0
+            sbr_ref[...] = vs0[0]
             carry[_PREV] = -1  # packed keys' >= 0: forces a run start
             carry[_C] = 0
             carry[_BASE] = I32_MIN
@@ -100,7 +117,6 @@ def _make_chunk_rank_kernel(R: int, m: int, n_tiles: int):
 
         a_pos = carry[_APOS]
         b_pos = carry[_BPOS]
-        flat = fv.flat_index(R)
 
         # --- A window: table entries [a_pos, a_pos + tile) --------------
         ra = jax.lax.shift_right_logical(a_pos, 7)
@@ -171,16 +187,22 @@ def _make_chunk_rank_kernel(R: int, m: int, n_tiles: int):
 
         @pl.when(t == n_tiles - 1)
         def _():
-            mult_ref[...] = ring_m[...]
-            start_ref[...] = ring_s[...]
-            rid_ref[...] = ring_r[...]
+            # Batcher-unsort by the row-id plane (a permutation of
+            # 0..tile-1): (mult, start) land in original row order
+            ku = ring_r[...]
+            vsu = [ring_m[...], ring_s[...]]
+            for p_log in range(tile_log):
+                for k_log in range(p_log, -1, -1):
+                    ku, vsu = _ce_stage_multi(ku, vsu, flat, p_log, k_log, R)
+            mult_ref[...] = vsu[0]
+            start_ref[...] = vsu[1]
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("m", "interpret"))
-def _chunk_rank_call(tpk, sbk, sbr, m: int, interpret: bool = False):
-    R = sbk.shape[0]
+def _chunk_rank_call(tpk, pk, m: int, interpret: bool = False):
+    R = pk.shape[0]
     tile = R * 128
     n_tiles = -(-(m + tile) // tile)
     rep = pl.BlockSpec(
@@ -192,19 +214,20 @@ def _chunk_rank_call(tpk, sbk, sbr, m: int, interpret: bool = False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole table
             rep,
-            rep,
         ],
-        out_specs=[rep] * 3,
-        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.int32)] * 3,
+        out_specs=[rep] * 2,
+        out_shape=[jax.ShapeDtypeStruct((R, 128), jnp.int32)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.int32),
-            pltpu.VMEM((R, 128), jnp.int32),
-            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.int32),  # sorted chunk keys (desc)
+            pltpu.VMEM((R, 128), jnp.int32),  # their row ids
+            pltpu.VMEM((R, 128), jnp.int32),  # ring: mult
+            pltpu.VMEM((R, 128), jnp.int32),  # ring: start
+            pltpu.VMEM((R, 128), jnp.int32),  # ring: row id
             pltpu.SMEM((6,), jnp.int32),
         ],
         compiler_params=_VMEM_BIG,
         interpret=interpret,
-    )(tpk, sbk, sbr)
+    )(tpk, pk)
     return outs
 
 
@@ -213,7 +236,7 @@ def stage_table_planes(packed_keys: np.ndarray, block: int):
     plane with I32_MAX tail slack for the kernel's shifted window loads."""
     m = packed_keys.shape[0]
     R = block // 128
-    rows = -(-m // 128) + R + 1
+    rows = -(-m // 128) + R + 8
     buf = np.full(rows * 128, I32_MAX, np.int32)
     buf[:m] = packed_keys
     return jnp.asarray(buf.reshape(rows, 128))
@@ -230,18 +253,10 @@ def chunk_rank(tpk: jax.Array, m: int, pk: jax.Array,
     block = pk.shape[0]
     R = block // 128
     with jax.enable_x64(False):
-        iota = jnp.arange(block, dtype=jnp.int32)
-        sk, sr = jax.lax.sort([pk, iota], num_keys=1)
-        sbk = sk[::-1].reshape(R, 128)
-        sbr = sr[::-1].reshape(R, 128)
-        mult_m, start_m, rid_m = _chunk_rank_call(
-            tpk, sbk, sbr, m, interpret=interpret
+        mult, start = _chunk_rank_call(
+            tpk, pk.reshape(R, 128), m, interpret=interpret
         )
-        _, mult, start = jax.lax.sort(
-            [rid_m.reshape(-1), mult_m.reshape(-1), start_m.reshape(-1)],
-            num_keys=1,
-        )
-    return mult, start
+    return mult.reshape(-1), start.reshape(-1)
 
 
 def chunk_rank_xla(table_keys: jax.Array, keys: jax.Array,
