@@ -96,9 +96,9 @@ class EngineConfig:
     # lax.cond so a compactor-absorbed step (emitted.count == 0 — about
     # half of all steps under FULL compaction) skips the densify-gather
     # and next-level probe at runtime, instead of computing them and
-    # select-discarding. Costs one branch per step; measured on chip
-    # before becoming the default.
-    branchy_descend: bool = False
+    # select-discarding. Measured on chip 2026-08-19 (4-way FULL, 1M
+    # rows): 0.845 s vs 1.061 s branch-free — default ON.
+    branchy_descend: bool = True
 
     # DYNAMIC-strategy bandit arms (negative_feedback.hpp:172).
     threshold_arms: tuple = DEFAULT_THRESHOLD_ARMS

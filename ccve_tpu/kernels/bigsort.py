@@ -278,7 +278,15 @@ def _make_bitonic_merge_kernel(tile_log: int, rows: int,
 
 @functools.partial(jax.jit, static_argnames=("tile_log", "chunk_log"))
 def _sort_padded(x, tile_log: int, chunk_log: int):
-    """Sort i32[n_pad] (n_pad a multiple of TILE, +INF-padded)."""
+    return _sort_padded_buf(x, tile_log, chunk_log).reshape(-1)[: x.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_log", "chunk_log"))
+def _sort_padded_buf(x, tile_log: int, chunk_log: int):
+    """Sort i32[n_pad] (n_pad a multiple of TILE, +INF-padded). Returns
+    the UNSLICED [rows(+slack), 128] buffer — positions past n_pad are
+    +INF (the merge levels' end slack), which downstream fused kernels
+    use directly as window slack without a trim copy."""
     tile = 1 << tile_log
     n_pad = x.shape[0]
     nt = n_pad // tile
@@ -359,7 +367,7 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
                 y,
             )
 
-    return y.reshape(-1)[:n_pad]
+    return y
 
 
 def _merge_splits_two(y, nA: int, nB: int, n_tiles: int, tile_log: int,

@@ -28,10 +28,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ccve_tpu.kernels import flatvec as fv
+from ccve_tpu.kernels.bigsort import _VMEM_BIG
 
 _R = 8
 TILE = _R * 128
@@ -344,6 +346,83 @@ _CS_R = 256  # tile height: the dense kernel is grid-step-bound, not
 #              (ladders deepen 13→15 rounds but grid steps drop 4x)
 
 
+def _counts_scan_tile(s, i, last, bc_hbm, carry, ring, stage, sem, R: int):
+    """Shared count-side tile body: run scan + in-register compaction +
+    ring flush over ONE merged tile `s` (see _make_counts32_dense_kernel
+    for the math; also the merge-fused kernel below)."""
+    tile = R * 128
+    rounds = tile.bit_length() - 1
+    ring_r = 2 * R
+
+    @pl.when(i == 0)
+    def _():
+        carry[_CS_PREV] = -1  # packed keys >= 0: forces a run start
+        carry[_CS_CP] = 0
+        carry[_CS_BASE] = I32_MIN
+        carry[_CS_W] = 0
+        carry[_CS_ROW] = 0
+
+    ib = s & 1
+    ip = 1 - ib
+    cp_local = fv.prefix_sum_i32(ip, R, rounds)
+    cp = cp_local + carry[_CS_CP]
+
+    key = jax.lax.shift_right_arithmetic(s, 1)
+    flat = fv.flat_index(R)
+    prev = fv.shift_flat_right(key, 1, R, 0)
+    prev = jnp.where(flat == 0, carry[_CS_PREV], prev)
+    run_start = key != prev
+
+    cpx = cp - ip
+    base = jnp.maximum(
+        fv.prefix_max_i32(jnp.where(run_start, cpx, I32_MIN), R, rounds),
+        carry[_CS_BASE],
+    )
+    pcount = jnp.where(ib > 0, cp - base, 0)
+
+    carry[_CS_PREV] = key[R - 1, 127]
+    carry[_CS_CP] = cp[R - 1, 127]
+    carry[_CS_BASE] = base[R - 1, 127]
+
+    # ---- compact this tile's build counts, append to the ring ----
+    rank_b = flat + 1 - cp_local  # inclusive build rank, for free
+    k_t = tile - cp_local[R - 1, 127]
+    (cpc,) = fv.butterfly_compact([pcount], ib, R, rounds, rank=rank_b)
+
+    w = carry[_CS_W]
+    cpc2 = jnp.concatenate(
+        [cpc, jnp.zeros((ring_r - R, 128), jnp.int32)], axis=0
+    )
+    shifted = fv.shift_flat_right_dyn(cpc2, w, ring_r)
+    ring[...] = jnp.where(fv.flat_index(ring_r) < w, ring[...], shifted)
+    w = w + k_t
+
+    def flush():
+        stage[...] = ring[0:R]
+        copy = pltpu.make_async_copy(
+            stage, bc_hbm.at[pl.ds(carry[_CS_ROW], R), :], sem
+        )
+        copy.start()
+        copy.wait()
+        carry[_CS_ROW] = carry[_CS_ROW] + R
+
+    @pl.when(w >= tile)
+    def _():
+        flush()
+        ring[...] = pltpu.roll(ring[...], R, axis=0)  # left by R rows
+        carry[_CS_W] = w - tile
+
+    @pl.when(w < tile)
+    def _():
+        carry[_CS_W] = w
+
+    # final partial flush: residue < tile (junk lanes past w are
+    # sliced off by the wrapper)
+    @pl.when((i == last) & (carry[_CS_W] > 0))
+    def _():
+        flush()
+
+
 def _make_counts32_dense_kernel(R: int):
     """Count-side scan + in-kernel compaction over the u32 packed stream
     (key' << 1 | tag; tag 1 = build, 0 = probe, so probes order before
@@ -361,82 +440,12 @@ def _make_counts32_dense_kernel(R: int):
 
     One ladder is saved by construction: the inclusive build rank is
     flat + 1 - cp (probe count + build count = position + 1)."""
-    tile = R * 128
-    rounds = tile.bit_length() - 1  # log2(R * 128)
-    ring_r = 2 * R
-
     def kernel(s_ref, bc_hbm, carry, ring, stage, sem):
         i = pl.program_id(0)
         last = pl.num_programs(0) - 1
-
-        @pl.when(i == 0)
-        def _():
-            carry[_CS_PREV] = -1  # packed keys >= 0: forces a run start
-            carry[_CS_CP] = 0
-            carry[_CS_BASE] = I32_MIN
-            carry[_CS_W] = 0
-            carry[_CS_ROW] = 0
-
-        s = s_ref[:]
-        ib = s & 1
-        ip = 1 - ib
-        cp_local = fv.prefix_sum_i32(ip, R, rounds)
-        cp = cp_local + carry[_CS_CP]
-
-        key = jax.lax.shift_right_arithmetic(s, 1)
-        flat = fv.flat_index(R)
-        prev = fv.shift_flat_right(key, 1, R, 0)
-        prev = jnp.where(flat == 0, carry[_CS_PREV], prev)
-        run_start = key != prev
-
-        cpx = cp - ip
-        base = jnp.maximum(
-            fv.prefix_max_i32(jnp.where(run_start, cpx, I32_MIN), R, rounds),
-            carry[_CS_BASE],
+        _counts_scan_tile(
+            s_ref[:], i, last, bc_hbm, carry, ring, stage, sem, R
         )
-        pcount = jnp.where(ib > 0, cp - base, 0)
-
-        carry[_CS_PREV] = key[R - 1, 127]
-        carry[_CS_CP] = cp[R - 1, 127]
-        carry[_CS_BASE] = base[R - 1, 127]
-
-        # ---- compact this tile's build counts, append to the ring ----
-        rank_b = flat + 1 - cp_local  # inclusive build rank, for free
-        k_t = tile - cp_local[R - 1, 127]
-        (cpc,) = fv.butterfly_compact([pcount], ib, R, rounds, rank=rank_b)
-
-        w = carry[_CS_W]
-        cpc2 = jnp.concatenate(
-            [cpc, jnp.zeros((ring_r - R, 128), jnp.int32)], axis=0
-        )
-        shifted = fv.shift_flat_right_dyn(cpc2, w, ring_r)
-        ring[...] = jnp.where(fv.flat_index(ring_r) < w, ring[...], shifted)
-        w = w + k_t
-
-        def flush():
-            stage[...] = ring[0:R]
-            copy = pltpu.make_async_copy(
-                stage, bc_hbm.at[pl.ds(carry[_CS_ROW], R), :], sem
-            )
-            copy.start()
-            copy.wait()
-            carry[_CS_ROW] = carry[_CS_ROW] + R
-
-        @pl.when(w >= tile)
-        def _():
-            flush()
-            ring[...] = pltpu.roll(ring[...], R, axis=0)  # left by R rows
-            carry[_CS_W] = w - tile
-
-        @pl.when(w < tile)
-        def _():
-            carry[_CS_W] = w
-
-        # final partial flush: residue < tile (junk lanes past w are
-        # sliced off by the wrapper)
-        @pl.when((i == last) & (carry[_CS_W] > 0))
-        def _():
-            flush()
 
     return kernel
 
@@ -479,6 +488,175 @@ def merge_scan_build_counts(
                 pltpu.SemaphoreType.DMA,
             ],
         )(s2)
+    return bc.reshape(-1)[:m]
+
+
+# ---------------------------------------------------------------------------
+# Merge-FUSED count-side form: the unequal (probe-stream, build-stream)
+# merge level happens INSIDE the counts kernel — per output tile, DMA one
+# window from each sorted source, take the bitonic lower half, run the
+# same scan + ring compaction. Removes the merged stream's HBM write +
+# read and one kernel launch vs merge_sorted_i32 → merge_scan_build_counts
+# ---------------------------------------------------------------------------
+
+_MC_R = 256
+_MC_TILE_LOG = 15  # log2(_MC_R * 128)
+
+
+def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
+    """Grid step t emits merged tile t from the A window (probe stream,
+    ascending, +INF-padded buffer) and the flipped B window (build stream
+    REVERSED in HBM with +INF front slack, so the bitonic element-aligned
+    min pairing reads it contiguously — kernels/bigsort.py's lower-half
+    trick). Split offsets are scalar-prefetched (XLA bisection outside)."""
+    from ccve_tpu.kernels.bigsort import I32_MAX, _bitonic_stage
+
+    Rw = R + 8
+
+    def kernel(a_off_r, b_off_r, abuf, bbuf, bc_hbm, carry, wa, wb,
+               ring, stage, sema, semb, semf):
+        t = pl.program_id(0)
+        last = pl.num_programs(0) - 1
+        a_off = a_off_r[t]
+        b_off = b_off_r[t]
+        ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows_a)
+        rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows_b)
+        ca = pltpu.make_async_copy(abuf.at[pl.ds(ra, Rw)], wa, sema)
+        cb = pltpu.make_async_copy(bbuf.at[pl.ds(rb, Rw)], wb, semb)
+        ca.start()
+        cb.start()
+        ca.wait()
+        cb.wait()
+
+        ak = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
+        bk = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
+        x = jnp.minimum(ak, bk)
+        flat = fv.flat_index(R)
+        for k_log in range(_MC_TILE_LOG - 1, -1, -1):
+            x = _bitonic_stage(x, flat, k_log, R)
+
+        _counts_scan_tile(x, t, last, bc_hbm, carry, ring, stage, semf, R)
+
+    return kernel
+
+
+def _merge_splits_fused(abuf_flat, nA: int, b32, nB: int, n_tiles: int,
+                        tile_log: int):
+    """Per-output-tile A split for merging (A = abuf's first nA ops,
+    ascending; B = b32 ascending): max a with A[a-1] <= B[d-a], ties to
+    A (real operands never tie across sides — tag parity differs)."""
+    from ccve_tpu.kernels.bigsort import I32_MAX as IMAX
+    from ccve_tpu.kernels.bigsort import I32_MIN as IMIN
+
+    tile = 1 << tile_log
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    d = t * tile
+
+    def fetch_a(off):
+        v = jnp.take(abuf_flat, jnp.clip(off, 0, nA - 1), mode="clip")
+        v = jnp.where(off >= nA, IMAX, v)
+        return jnp.where(off < 0, IMIN, v)
+
+    def fetch_b(j):
+        v = jnp.take(b32, jnp.clip(j, 0, nB - 1), mode="clip")
+        v = jnp.where(j >= nB, IMAX, v)
+        return jnp.where(j < 0, IMIN, v)
+
+    lo = jnp.maximum(d - nB, 0)
+    hi = jnp.minimum(d, nA)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi + 1) >> 1
+        ok = fetch_a(mid - 1) <= fetch_b(d - mid)
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
+
+    iters = max(nA, nB).bit_length() + 1
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo.astype(jnp.int32)
+
+
+def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
+                       interpret: bool = False):
+    """bc int32[m] from an UNMERGED pair of sorted streams:
+
+      abuf — [rows, 128] i32 buffer whose flat prefix nA is the sorted
+             probe stream (key' << 1, even) with >= R+8 rows of +INF
+             slack past nA (bigsort._sort_padded_buf emits exactly this);
+      b32  — i32[m] sorted build operands (key' << 1 | 1, odd).
+
+    n_real = the count of REAL probes among the nA (sort padding is
+    build-tagged and contributes zero counts past bc[m-1])."""
+    R = _MC_R
+    tile = R * 128
+    if abuf.shape[0] * 128 < nA + (R + 8) * 128:
+        # single-tile sorts carry no end slack — pad (small n, cheap)
+        need = -(-(nA + (R + 8) * 128) // 128) - abuf.shape[0]
+        abuf = jnp.concatenate(
+            [
+                abuf,
+                jnp.full(
+                    (need, 128), np.int32(np.iinfo(np.int32).max), jnp.int32
+                ),
+            ]
+        )
+    rows_a = abuf.shape[0]
+    nB = m
+    n_tiles = -(-(nA + nB) // tile)
+
+    # B: reversed, +INF front slack (the flipped window's past-the-end
+    # region) and tail slack for the shifted row loads
+    S_b = tile + 1024
+    tail = (R + 8) * 128 + ((-m) % 128)
+    IMAX = np.int32(np.iinfo(np.int32).max)
+    bbuf = jnp.concatenate(
+        [
+            jnp.full(S_b, IMAX, jnp.int32),
+            b32[::-1],
+            jnp.full(tail, IMAX, jnp.int32),
+        ]
+    ).reshape(-1, 128)
+
+    a_split = _merge_splits_fused(
+        abuf.reshape(-1), nA, b32, nB, n_tiles, _MC_TILE_LOG
+    )
+    d = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    sb = d - a_split
+    b_woff = S_b + nB - sb - tile  # flipped-window element offset
+
+    # appended count values = all build-tagged elements = n_tiles*tile
+    # minus the real probes
+    out_rows = -(-(n_tiles * tile - n_real + tile) // 128) + R
+    Rw = R + 8
+    with jax.enable_x64(False):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.SMEM((5,), jnp.int32),
+                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.VMEM((2 * R, 128), jnp.int32),
+                pltpu.VMEM((R, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        bc = pl.pallas_call(
+            _make_merge_counts_kernel(
+                R, rows_a - Rw, bbuf.shape[0] - Rw
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+            compiler_params=_VMEM_BIG,
+            interpret=interpret,
+        )(a_split, b_woff, abuf, bbuf)
     return bc.reshape(-1)[:m]
 
 

@@ -354,11 +354,22 @@ def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
             p32 = (
                 jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1
             ).astype(jnp.int32)
-        from ccve_tpu.kernels.bigsort import merge_sorted_i32, pallas_sort_i32
-        from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
+        from ccve_tpu.kernels import bigsort as bs
+        from ccve_tpu.kernels.merge_scan import (
+            merge_counts_fused,
+            merge_scan_build_counts,
+        )
 
-        s = merge_sorted_i32(pallas_sort_i32(p32), b32)
-        return merge_scan_build_counts(s, m)
+        n = p32.shape[0]
+        if n <= (1 << bs.CHUNK_LOG):
+            s = bs.merge_sorted_i32(jax.lax.sort([p32], num_keys=1)[0], b32)
+            return merge_scan_build_counts(s, m)
+        n_pad = n + ((-n) % (1 << bs.TILE_LOG))
+        p32 = jnp.pad(
+            p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
+        )
+        abuf = bs._sort_padded_buf(p32, bs.TILE_LOG, bs.CHUNK_LOG)
+        return merge_counts_fused(abuf, n_pad, n, b32, m)
     # general path: tag-sorted stream + XLA scans (CPU / wide keys)
     n = probe_keys.shape[0]
     keys = jnp.concatenate([table.keys, probe_keys.astype(jnp.int64)])
@@ -454,7 +465,10 @@ def sorted_match_totals(
             ).astype(jnp.int32)
 
         from ccve_tpu.kernels import bigsort as bs
-        from ccve_tpu.kernels.merge_scan import merge_scan_build_counts
+        from ccve_tpu.kernels.merge_scan import (
+            merge_counts_fused,
+            merge_scan_build_counts,
+        )
 
         n = p32.shape[0]
         tile = 1 << bs.TILE_LOG
@@ -466,11 +480,14 @@ def sorted_match_totals(
             p32 = jnp.pad(
                 p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
             )
-            sp = bs._sort_padded(p32, bs.TILE_LOG, bs.CHUNK_LOG)
-            s = bs._merge_two_padded(sp, b32, bs.TILE_LOG)
-            bc = merge_scan_build_counts(
-                s, m, extra=s.shape[0] - (n + m)
-            ).astype(jnp.int64)
+            # sorted probe buffer keeps its +INF merge slack; the build
+            # stream folds in INSIDE the counts kernel (one less full
+            # HBM write+read and one less launch than the split
+            # merge_sorted_i32 -> merge_scan_build_counts chain)
+            abuf = bs._sort_padded_buf(p32, bs.TILE_LOG, bs.CHUNK_LOG)
+            bc = merge_counts_fused(abuf, n_pad, n, b32, m).astype(
+                jnp.int64
+            )
         return jnp.sum(bc), jnp.sum(bc * table.payloads)
 
     # remaining branches mix probe keys with int64 operands

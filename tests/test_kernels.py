@@ -160,3 +160,32 @@ def test_merge_scan_counts32_negative_payloads():
         )
     assert int(c_k) == int(c_ref)
     assert int(p_k) == int(p_ref)
+
+
+def test_merge_counts_fused_matches_split_path():
+    """Merge-fused counts kernel == merge + dense-counts chain."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.merge_scan import (
+        merge_counts_fused,
+        merge_scan_build_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, m in [(100_000, 30_000), (40_000, 70_000), (33_000, 100)]:
+        dom = max(m, 1000)
+        pk = np.sort(rng.integers(0, dom, n)).astype(np.int32) * 2
+        bk = (np.sort(rng.integers(0, dom, m)).astype(np.int32) * 2) | 1
+        s = np.sort(np.concatenate([pk, bk]))
+        with pltpu.force_tpu_interpret_mode():
+            ref = np.asarray(merge_scan_build_counts(jnp.asarray(s), m))
+        nA = n + (-n) % (256 * 128)
+        IMAX = np.int32(2**31 - 1)
+        abuf = np.full(((nA // 128) + 264 + 8, 128), IMAX, np.int32)
+        abuf.reshape(-1)[:n] = pk
+        got = np.asarray(
+            merge_counts_fused(
+                jnp.asarray(abuf), nA, n, jnp.asarray(bk), m, interpret=True
+            )
+        )
+        assert np.array_equal(got, ref), (n, m)
