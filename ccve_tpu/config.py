@@ -103,6 +103,13 @@ class EngineConfig:
     # DYNAMIC-strategy bandit arms (negative_feedback.hpp:172).
     threshold_arms: tuple = DEFAULT_THRESHOLD_ARMS
 
+    # DYNAMIC tuner placement: False = host bandit between segment
+    # dispatches (the reference's structure, one relay readback per
+    # segment); True = the whole bandit runs ON DEVICE inside one
+    # dispatch (control/device_bandit.py), rewarded by per-level
+    # work-loop step counts — zero host syncs, true per-level credit.
+    device_tuner: bool = False
+
     # How many input chunks to process per jitted device dispatch when the
     # DYNAMIC strategy needs host-side bandit decisions between segments.
     tuner_segment_chunks: int = 64

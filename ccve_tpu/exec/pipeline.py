@@ -62,6 +62,9 @@ class PipelineState(NamedTuple):
     occupancy: jax.Array  # int64[n_levels, block+1]: ZebraProfiler-style
     #   histogram of emitted-chunk occupancy per level (profiler.h:178-237,
     #   keyed by live-row count; recorded on device, exported by the driver)
+    level_steps: jax.Array  # int32[n_levels]: work-loop steps taken at each
+    #   level — the device-side cost signal (each step is one fixed-shape op
+    #   chain, so steps ∝ device time); feeds the on-device DYNAMIC tuner
 
 
 def _deepest_pending(sc_count: jax.Array) -> jax.Array:
@@ -97,6 +100,7 @@ def init_pipeline_state(
         result_rows=jnp.zeros((width, capacity), jnp.int64),
         result_stored=jnp.asarray(0, jnp.int64),
         occupancy=jnp.zeros((n_levels, block + 1), jnp.int64),
+        level_steps=jnp.zeros((n_levels,), jnp.int32),
     )
 
 
@@ -156,6 +160,9 @@ class JoinPipeline:
         if self.lanes == 1:
             self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
             self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
+            self._process_dyn = jax.jit(
+                self._process_chunks_device_dynamic, donate_argnums=(0, 1)
+            )
         else:
             # lane axis on pstate and the chunk stream; thresholds shared
             self._process = jax.jit(
@@ -221,6 +228,13 @@ class JoinPipeline:
 
     def _step_at_level(self, cur: int, st: _WorkState, thresholds) -> _WorkState:
         block, W, L = self.block, self.width, self.n_levels
+
+        # per-level step counter (static index: `cur` is specialized)
+        st = st._replace(
+            pstate=st.pstate._replace(
+                level_steps=st.pstate.level_steps.at[cur].add(1)
+            )
+        )
 
         # --- Next (scan one entry per live row) -------------------------
         blk = st.in_cols[cur]
@@ -401,6 +415,36 @@ class JoinPipeline:
     # Top-level jitted entry points
     # ------------------------------------------------------------------
 
+    def _one_chunk(self, ps, cols, count, thresholds):
+        """Push one input chunk through the whole pipeline (the body of
+        the driver's chunk loop, main.cpp:86-95)."""
+        work = self._fresh_work(ps)
+        padded = work.in_cols.at[0, : self.config.n_joins, :].set(cols)
+        if self.prefilter is not None:
+            from ccve_tpu.core.chunk import compress_indices
+
+            lane = jnp.arange(self.block, dtype=jnp.int32)
+            keep = (lane < count) & self.prefilter(
+                cols[self.prefilter_col]
+            )
+            sel0, count = compress_indices(keep)
+            # probe through the filtered selection vector: the level-0
+            # scan sees an under-filled chunk (sel sparsity preserved)
+            scan0 = self._probe_level_sel(0, cols[0], sel0, count)
+        else:
+            scan0 = self._probe_level(0, cols[0], count)
+        sc_count0 = work.sc_count.at[0].set(scan0.count)
+        work = work._replace(
+            cur=_deepest_pending(sc_count0),
+            in_cols=padded,
+            in_count=work.in_count.at[0].set(count),
+            sc_cursor=work.sc_cursor.at[0].set(scan0.cursor),
+            sc_end=work.sc_end.at[0].set(scan0.end),
+            sc_sel=work.sc_sel.at[0].set(scan0.sel),
+            sc_count=sc_count0,
+        )
+        return self._work_loop(work, thresholds).pstate
+
     def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
         """lax.scan over a batch of input chunks: one device dispatch for
         the whole batch (the driver's chunk loop, main.cpp:86-95).
@@ -410,36 +454,48 @@ class JoinPipeline:
 
         def one_chunk(ps, xs):
             cols, count = xs
-            work = self._fresh_work(ps)
-            padded = work.in_cols.at[0, : self.config.n_joins, :].set(cols)
-            if self.prefilter is not None:
-                from ccve_tpu.core.chunk import compress_indices
-
-                lane = jnp.arange(self.block, dtype=jnp.int32)
-                keep = (lane < count) & self.prefilter(
-                    cols[self.prefilter_col]
-                )
-                sel0, count = compress_indices(keep)
-                # probe through the filtered selection vector: the level-0
-                # scan sees an under-filled chunk (sel sparsity preserved)
-                scan0 = self._probe_level_sel(0, cols[0], sel0, count)
-            else:
-                scan0 = self._probe_level(0, cols[0], count)
-            sc_count0 = work.sc_count.at[0].set(scan0.count)
-            work = work._replace(
-                cur=_deepest_pending(sc_count0),
-                in_cols=padded,
-                in_count=work.in_count.at[0].set(count),
-                sc_cursor=work.sc_cursor.at[0].set(scan0.cursor),
-                sc_end=work.sc_end.at[0].set(scan0.end),
-                sc_sel=work.sc_sel.at[0].set(scan0.sel),
-                sc_count=sc_count0,
-            )
-            out = self._work_loop(work, thresholds)
-            return out.pstate, None
+            return self._one_chunk(ps, cols, count, thresholds), None
 
         pstate, _ = jax.lax.scan(one_chunk, pstate, (chunk_cols, chunk_counts))
         return pstate
+
+    def _process_chunks_device_dynamic(
+        self, pstate, bstate, chunk_cols, chunk_counts
+    ):
+        """DYNAMIC strategy with the ON-DEVICE tuner: the whole
+        select-arm → run segment → update-arm loop runs inside ONE
+        dispatch (control/device_bandit.py). Reward per level =
+        1000 / (that level's work-loop step delta) — steps are the
+        device-time proxy (each step is one fixed-shape op chain), and
+        per-LEVEL deltas give true per-level credit, which the
+        reference's shared host timer never had (main.cpp:164-167).
+
+        chunk_cols: [n_segments, seg, n_joins, block]."""
+        from ccve_tpu.control import device_bandit as db
+
+        arms_vals = jnp.asarray(self.config.threshold_arms, jnp.int32)
+
+        def one_seg(carry, xs):
+            ps, bs_ = carry
+            cols_seg, counts_seg = xs
+            arm, bs_ = db.select_arms(bs_)
+            thresholds = jnp.take(arms_vals, arm)
+            steps0 = ps.level_steps
+
+            def one_chunk(p, x):
+                c, cnt = x
+                return self._one_chunk(p, c, cnt, thresholds), None
+
+            ps, _ = jax.lax.scan(one_chunk, ps, (cols_seg, counts_seg))
+            delta = (ps.level_steps - steps0).astype(jnp.float32)
+            reward = 1000.0 / jnp.maximum(delta, 1.0)
+            bs_ = db.update_arms(bs_, arm, reward)
+            return (ps, bs_), None
+
+        (pstate, bstate), _ = jax.lax.scan(
+            one_seg, (pstate, bstate), (chunk_cols, chunk_counts)
+        )
+        return pstate, bstate
 
     def _flush_all(self, pstate, thresholds):
         """FlushPipelineCache (main.cpp:172-191): flush level l's cache into
@@ -510,6 +566,7 @@ class JoinPipeline:
             result_rows=jnp.asarray(merged_rows),
             result_stored=jnp.asarray(int(stored.sum()), jnp.int64),
             occupancy=jnp.asarray(np.asarray(pstate.occupancy).sum(0)),
+            level_steps=jnp.asarray(np.asarray(pstate.level_steps).sum(0)),
         )
 
     def export_occupancy(
@@ -546,6 +603,64 @@ class JoinPipeline:
         return np.full(
             self.n_levels, self.config.compact_threshold, dtype=np.int32
         )
+
+    def _run_device_dynamic(self, make_batch, counts, n_chunks) -> dict:
+        """DYNAMIC with the on-device tuner: one dispatch for the whole
+        stream, zero per-segment host syncs (the host-bandit path pays
+        one ~28 ms relay readback per segment here — measured 2.2 s of
+        config 6's 3.5 s run). The end-of-stream flush uses each level's
+        greedy arm, read back once with the results."""
+        from ccve_tpu.control import device_bandit as db
+
+        cfg = self.config
+        seg = cfg.tuner_segment_chunks
+        n_seg = -(-n_chunks // seg)
+        total = n_seg * seg
+        t0 = time.perf_counter()
+        batch = make_batch(0, n_chunks)  # [n_chunks, n_joins, block]
+        if total > n_chunks:
+            batch = np.concatenate(
+                [
+                    batch,
+                    np.zeros(
+                        (total - n_chunks,) + batch.shape[1:], np.int64
+                    ),
+                ]
+            )
+        counts_full = np.zeros(total, np.int32)
+        counts_full[:n_chunks] = counts
+        batch4 = jnp.asarray(
+            batch.reshape(n_seg, seg, cfg.n_joins, self.block)
+        )
+        counts2 = jnp.asarray(counts_full.reshape(n_seg, seg))
+
+        pstate = self.fresh_state()
+        bstate = db.init_state(self.n_levels, len(cfg.threshold_arms))
+        pstate, bstate = self._process_dyn(pstate, bstate, batch4, counts2)
+
+        # ONE readback (end of stream): greedy thresholds for the flush
+        est = np.asarray(jax.device_get(bstate.est))
+        arms = np.asarray(cfg.threshold_arms, np.int32)
+        thresholds = arms[est.argmax(1)]
+        pstate = self._flush(pstate, jnp.asarray(thresholds))
+        count = int(np.asarray(jax.device_get(pstate.result_count)))
+        seconds = time.perf_counter() - t0
+
+        out = {
+            "count": count,
+            "seconds": seconds,
+            "chunks": n_chunks,
+            "occupancy": np.asarray(pstate.occupancy),
+            "bandit_est": est,
+            "bandit_n_sel": np.asarray(bstate.n_sel),
+            "greedy_thresholds": thresholds,
+        }
+        self.export_occupancy(out["occupancy"], total_seconds=seconds)
+        if cfg.collect_tuples:
+            stored = int(pstate.result_stored)
+            out["rows"] = np.asarray(pstate.result_rows[:, :stored]).T
+            out["overflowed"] = int(pstate.result_count) > stored
+        return out
 
     def run(
         self,
@@ -633,6 +748,11 @@ class JoinPipeline:
         per = -(-n_chunks // K)  # chunks per lane (tail lanes zero-padded)
         counts_padded = np.zeros(per * K, np.int32)
         counts_padded[:n_chunks] = counts
+
+        if dynamic and cfg.device_tuner:
+            if K != 1:
+                raise ValueError("device_tuner requires lanes == 1")
+            return self._run_device_dynamic(make_batch, counts, n_chunks)
 
         pstate = self.fresh_state()
         if K > 1:

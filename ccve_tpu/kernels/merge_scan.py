@@ -508,28 +508,52 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
     ascending, +INF-padded buffer) and the flipped B window (build stream
     REVERSED in HBM with +INF front slack, so the bitonic element-aligned
     min pairing reads it contiguously — kernels/bigsort.py's lower-half
-    trick). Split offsets are scalar-prefetched (XLA bisection outside)."""
+    trick). Split offsets are scalar-prefetched (XLA bisection outside),
+    so tile t+1's window DMAs start before tile t's compute — DOUBLE
+    BUFFERED, recovering the pipelining the standalone counts kernel got
+    from its BlockSpec grid inputs."""
     from ccve_tpu.kernels.bigsort import I32_MAX, _bitonic_stage
 
     Rw = R + 8
 
-    def kernel(a_off_r, b_off_r, abuf, bbuf, bc_hbm, carry, wa, wb,
-               ring, stage, sema, semb, semf):
+    def kernel(a_off_r, b_off_r, abuf, bbuf, bc_hbm, carry, wa2, wb2,
+               ring, stage, sema2, semb2, semf):
         t = pl.program_id(0)
-        last = pl.num_programs(0) - 1
+        nt = pl.num_programs(0)
+        last = nt - 1
+
+        def dmas(tt, slot):
+            a_off = a_off_r[tt]
+            b_off = b_off_r[tt]
+            ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows_a)
+            rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows_b)
+            return (
+                pltpu.make_async_copy(
+                    abuf.at[pl.ds(ra, Rw)], wa2.at[slot], sema2.at[slot]
+                ),
+                pltpu.make_async_copy(
+                    bbuf.at[pl.ds(rb, Rw)], wb2.at[slot], semb2.at[slot]
+                ),
+            )
+
+        @pl.when(t == 0)
+        def _():
+            for c in dmas(0, 0):
+                c.start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            for c in dmas(t + 1, (t + 1) & 1):
+                c.start()
+
+        slot = t & 1
+        for c in dmas(t, slot):
+            c.wait()
+
         a_off = a_off_r[t]
         b_off = b_off_r[t]
-        ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows_a)
-        rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows_b)
-        ca = pltpu.make_async_copy(abuf.at[pl.ds(ra, Rw)], wa, sema)
-        cb = pltpu.make_async_copy(bbuf.at[pl.ds(rb, Rw)], wb, semb)
-        ca.start()
-        cb.start()
-        ca.wait()
-        cb.wait()
-
-        ak = fv.shift_flat_left_dyn(wa[...], a_off & 127, Rw, I32_MAX)[0:R]
-        bk = fv.shift_flat_left_dyn(wb[...], b_off & 127, Rw, I32_MAX)[0:R]
+        ak = fv.shift_flat_left_dyn(wa2[slot], a_off & 127, Rw, I32_MAX)[0:R]
+        bk = fv.shift_flat_left_dyn(wb2[slot], b_off & 127, Rw, I32_MAX)[0:R]
         x = jnp.minimum(ak, bk)
         flat = fv.flat_index(R)
         for k_log in range(_MC_TILE_LOG - 1, -1, -1):
@@ -639,12 +663,12 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.SMEM((5,), jnp.int32),
-                pltpu.VMEM((Rw, 128), jnp.int32),
-                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.VMEM((2, Rw, 128), jnp.int32),  # A windows x2 slots
+                pltpu.VMEM((2, Rw, 128), jnp.int32),  # B windows x2 slots
                 pltpu.VMEM((2 * R, 128), jnp.int32),
                 pltpu.VMEM((R, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         )

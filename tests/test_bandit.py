@@ -77,3 +77,39 @@ def test_history_csv(tmp_path):
     b.log_to_csv(str(p))
     lines = p.read_text().strip().splitlines()
     assert len(lines) == len(b.history) and len(lines) >= 3
+
+
+def test_device_bandit_matches_host_math():
+    """The on-device UCB1-tuned bandit (control/device_bandit.py) must
+    track the host implementation arm-for-arm on a shared reward tape
+    (f32 vs f64 rounding allowed in the estimates)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccve_tpu.control import device_bandit as db
+    from ccve_tpu.control.bandit import MultiArmedBandit
+
+    n_arms = 4
+    rng = np.random.default_rng(11)
+    means = np.array([0.2, 0.9, 0.5, 0.6])
+
+    host = MultiArmedBandit(n_arms)
+    dev = db.init_state(1, n_arms)
+    for step in range(120):
+        h_arm = host.select_arm()
+        d_arm, dev = db.select_arms(dev)
+        d_arm = int(d_arm[0])
+        assert h_arm == d_arm, (step, h_arm, d_arm)
+        reward = float(means[h_arm] + 0.01 * rng.standard_normal())
+        host.update_arm(h_arm, reward)
+        dev = db.update_arms(
+            dev, jnp.asarray([h_arm], jnp.int32),
+            jnp.asarray([reward], jnp.float32),
+        )
+    np.testing.assert_allclose(
+        np.asarray(dev.est)[0], np.asarray(host.est_rewards), rtol=2e-4
+    )
+    # the best arm must have been found by both
+    assert int(np.asarray(dev.est)[0].argmax()) == int(
+        np.argmax(host.est_rewards)
+    ) == 1

@@ -275,3 +275,26 @@ def test_pipeline_interaction_matrix(branchy, lanes):
     )
     out = pipe.run(probe, segment_chunks=2)
     assert out["count"] == expected.shape[0]
+
+
+def test_pipeline_device_tuner_matches_oracle():
+    """DYNAMIC with the ON-DEVICE bandit (zero host syncs) must stay
+    oracle-exact and report per-level bandit state."""
+    import dataclasses
+
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=900, rhs=64, chunk_factor=2, table_kind="csr",
+        strategy=CompactionStrategy.DYNAMIC, payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, device_tuner=True, threshold_arms=(0, 32, 64, 128),
+        tuner_segment_chunks=2,
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=8192)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    assert out["bandit_est"].shape == (2, 4)
+    assert out["bandit_n_sel"].sum() > 0
+    # step counters recorded work at both levels
+    assert out["greedy_thresholds"].shape == (2,)
