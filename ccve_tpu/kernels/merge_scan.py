@@ -516,8 +516,8 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
 
     Rw = R + 8
 
-    def kernel(a_off_r, b_off_r, abuf, bbuf, bc_hbm, carry, wa2, wb2,
-               ring, stage, sema2, semb2, semf):
+    def kernel(a_off_r, b_off_r, pure_r, abuf, bbuf, bc_hbm, carry, wa2,
+               wb2, ring, stage, sema2, semb2, semf):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
         last = nt - 1
@@ -538,6 +538,13 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
 
         @pl.when(t == 0)
         def _():
+            # carry init here (not only in _counts_scan_tile): tile 0
+            # may take the pure-probe fast path, which skips the scan
+            carry[_CS_PREV] = -1
+            carry[_CS_CP] = 0
+            carry[_CS_BASE] = I32_MIN
+            carry[_CS_W] = 0
+            carry[_CS_ROW] = 0
             for c in dmas(0, 0):
                 c.start()
 
@@ -553,13 +560,38 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
         a_off = a_off_r[t]
         b_off = b_off_r[t]
         ak = fv.shift_flat_left_dyn(wa2[slot], a_off & 127, Rw, I32_MAX)[0:R]
-        bk = fv.shift_flat_left_dyn(wb2[slot], b_off & 127, Rw, I32_MAX)[0:R]
-        x = jnp.minimum(ak, bk)
         flat = fv.flat_index(R)
-        for k_log in range(_MC_TILE_LOG - 1, -1, -1):
-            x = _bitonic_stage(x, flat, k_log, R)
 
-        _counts_scan_tile(x, t, last, bc_hbm, carry, ring, stage, semf, R)
+        @pl.when(pure_r[t] == 0)
+        def _slow():
+            bk = fv.shift_flat_left_dyn(
+                wb2[slot], b_off & 127, Rw, I32_MAX
+            )[0:R]
+            x = jnp.minimum(ak, bk)
+            for k_log in range(_MC_TILE_LOG - 1, -1, -1):
+                x = _bitonic_stage(x, flat, k_log, R)
+            _counts_scan_tile(x, t, last, bc_hbm, carry, ring, stage,
+                              semf, R)
+
+        @pl.when(pure_r[t] != 0)
+        def _fast():
+            # tile is entirely REAL PROBES (driver-checked; never the
+            # last tile): the merge is the identity and the scan's
+            # carries have closed forms — cp grows by tile; the base
+            # carry is cpx = flat + cp_in at the tile's LAST run start
+            # (cpx is monotone in flat, so the prefix-max ladder reduces
+            # to one max); no builds, so nothing joins the ring.
+            key = jax.lax.shift_right_arithmetic(ak, 1)
+            prev = fv.shift_flat_right(key, 1, R, 0)
+            prev = jnp.where(flat == 0, carry[_CS_PREV], prev)
+            p_star = jnp.max(jnp.where(key != prev, flat, -1))
+            carry[_CS_BASE] = jnp.where(
+                p_star >= 0,
+                jnp.maximum(carry[_CS_BASE], p_star + carry[_CS_CP]),
+                carry[_CS_BASE],
+            )
+            carry[_CS_CP] = carry[_CS_CP] + R * 128
+            carry[_CS_PREV] = key[R - 1, 127]
 
     return kernel
 
@@ -586,7 +618,9 @@ def _merge_splits_fused(abuf_flat, nA: int, b32, nB: int, n_tiles: int,
         v = jnp.where(j >= nB, IMAX, v)
         return jnp.where(j < 0, IMIN, v)
 
-    lo = jnp.maximum(d - nB, 0)
+    # clip keeps lo <= hi even for past-the-stream diagonals (the driver
+    # asks for one extra split to classify pure-A tiles)
+    lo = jnp.clip(d - nB, 0, nA)
     hi = jnp.minimum(d, nA)
 
     def body(_, lohi):
@@ -641,12 +675,21 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
         ]
     ).reshape(-1, 128)
 
-    a_split = _merge_splits_fused(
-        abuf.reshape(-1), nA, b32, nB, n_tiles, _MC_TILE_LOG
+    a_ext = _merge_splits_fused(
+        abuf.reshape(-1), nA, b32, nB, n_tiles + 1, _MC_TILE_LOG
     )
+    a_split = a_ext[:-1]
     d = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     sb = d - a_split
     b_woff = S_b + nB - sb - tile  # flipped-window element offset
+    # pure-probe fast-path tiles: all `tile` outputs come from A AND lie
+    # inside the REAL probes (A's sort-padding is build-tagged); never
+    # the last tile (it owns the final ring flush)
+    pure = (
+        (a_ext[1:] - a_split == tile)
+        & (a_split + tile <= n_real)
+        & (jnp.arange(n_tiles) < n_tiles - 1)
+    ).astype(jnp.int32)
 
     # appended count values = all build-tagged elements = n_tiles*tile
     # minus the real probes
@@ -654,7 +697,7 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
     Rw = R + 8
     with jax.enable_x64(False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -680,7 +723,7 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
             out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
             compiler_params=_VMEM_BIG,
             interpret=interpret,
-        )(a_split, b_woff, abuf, bbuf)
+        )(a_split, b_woff, pure, abuf, bbuf)
     return bc.reshape(-1)[:m]
 
 

@@ -189,3 +189,33 @@ def test_merge_counts_fused_matches_split_path():
             )
         )
         assert np.array_equal(got, ref), (n, m)
+
+
+def test_merge_counts_fused_pure_tiles():
+    """Builds clustered in a narrow key range: most merged tiles are
+    pure-probe and take the kernel's closed-form fast path."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.merge_scan import (
+        merge_counts_fused,
+        merge_scan_build_counts,
+    )
+
+    rng = np.random.default_rng(9)
+    n, m = 300_000, 5_000
+    pk = np.sort(rng.integers(0, 200_000, n)).astype(np.int32) * 2
+    # builds only in [40_000, 40_500): tiles before/after are pure probe
+    bk = (np.sort(rng.integers(40_000, 40_500, m)).astype(np.int32) * 2) | 1
+    s = np.sort(np.concatenate([pk, bk]))
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(merge_scan_build_counts(jnp.asarray(s), m))
+    nA = n + (-n) % (256 * 128)
+    IMAX = np.int32(2**31 - 1)
+    abuf = np.full(((nA // 128) + 264 + 8, 128), IMAX, np.int32)
+    abuf.reshape(-1)[:n] = pk
+    got = np.asarray(
+        merge_counts_fused(
+            jnp.asarray(abuf), nA, n, jnp.asarray(bk), m, interpret=True
+        )
+    )
+    assert np.array_equal(got, ref)
