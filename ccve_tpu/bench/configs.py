@@ -393,35 +393,42 @@ def config6_mixed_selectivity(
         "expected": expected,
         "phase_chunks": phase_chunks,
     }
-    for strategy in (
-        CompactionStrategy.NONE,
-        CompactionStrategy.FULL,
-        CompactionStrategy.DYNAMIC,
+    for strategy, device_tuner in (
+        (CompactionStrategy.NONE, False),
+        (CompactionStrategy.FULL, False),
+        (CompactionStrategy.DYNAMIC, False),
+        (CompactionStrategy.DYNAMIC, True),
     ):
         cfg = EngineConfig(
             block_size=block, n_joins=n_joins, lhs_size=lhs, rhs_size=rhs,
             strategy=strategy, payload_mode=PayloadMode.REFERENCE,
-            tuner_segment_chunks=segment_chunks,
+            tuner_segment_chunks=segment_chunks, device_tuner=device_tuner,
         )
         pipe = JoinPipeline(
             tables, cfg, prefilter=flt.mod_eq(mod, 0)
         )
-        tuner = CompactTuner() if strategy is CompactionStrategy.DYNAMIC else None
+        host_dyn = (
+            strategy is CompactionStrategy.DYNAMIC and not device_tuner
+        )
+        tuner = CompactTuner() if host_dyn else None
         pipe.run(probe, tuner=tuner)  # warm-up: compiles + bandit warm start
         r = pipe.run(probe, tuner=tuner)
         assert r["count"] == expected, (strategy, r["count"], expected)
-        out[strategy.value] = {
+        name = strategy.value + ("_device" if device_tuner else "")
+        out[name] = {
             "seconds": r["seconds"],
             "rows_per_s": lhs / r["seconds"],
         }
-        if tuner is not None and log_dir:
+        if host_dyn and log_dir:
             tuner.reset(enable_log=True, log_dir=log_dir)
             out["bandit_log"] = log_dir
+        if device_tuner:
+            out[name]["greedy_thresholds"] = r["greedy_thresholds"].tolist()
     best_static = min(
         out["no_compaction"]["seconds"], out["full_compaction"]["seconds"]
     )
     out["dynamic_vs_best_static"] = (
-        best_static / out["dynamic_compaction"]["seconds"]
+        best_static / out["dynamic_compaction_device"]["seconds"]
     )
     return out
 
