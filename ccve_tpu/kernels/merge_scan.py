@@ -422,6 +422,10 @@ def _counts_scan_tile(s, i, last, bc_hbm, carry, ring, stage, sem, R: int):
     def _():
         flush()
 
+    # build(+pad) count of this tile — the merged-fused kernel's B-side
+    # cursor advance
+    return k_t
+
 
 def _make_counts32_dense_kernel(R: int):
     """Count-side scan + in-kernel compaction over the u32 packed stream
@@ -501,40 +505,36 @@ def merge_scan_build_counts(
 
 _MC_R = 256
 _MC_TILE_LOG = 15  # log2(_MC_R * 128)
+S_B = _MC_R * 128 + 1024  # reversed-build front slack (element units)
 
 
-def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
-    """Grid step t emits merged tile t from the A window (probe stream,
-    ascending, +INF-padded buffer) and the flipped B window (build stream
-    REVERSED in HBM with +INF front slack, so the bitonic element-aligned
-    min pairing reads it contiguously — kernels/bigsort.py's lower-half
-    trick). Split offsets are scalar-prefetched (XLA bisection outside),
-    so tile t+1's window DMAs start before tile t's compute — DOUBLE
-    BUFFERED, recovering the pipelining the standalone counts kernel got
-    from its BlockSpec grid inputs."""
+_MC_APOS, _MC_BPOS = 5, 6
+
+
+def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int,
+                              nA: int, nB: int, n_real: int):
+    """Grid step t emits merged tile t via a SEQUENTIAL CARRIED MERGE:
+    SMEM cursors (a_pos, b_pos) walk the two sorted streams — the A
+    window (probe stream, ascending, +INF-padded buffer) and the flipped
+    B window (build stream REVERSED in HBM with +INF front slack, so the
+    bitonic element-aligned min pairing reads it contiguously —
+    kernels/bigsort.py's lower-half trick). No merge-path splits: the
+    XLA bisection they need costs ~3 ms at 17M/546 tiles (measured —
+    small XLA gathers lower to per-element loops), while the cursor
+    advance falls out of the scan for free (the count-side scan already
+    counts the tile's probes, and ALL probes come from A; pads
+    mis-assigned between the two exhausted streams in the endgame are
+    value-identical +INF, and the cursors clamp)."""
     from ccve_tpu.kernels.bigsort import I32_MAX, _bitonic_stage
 
     Rw = R + 8
+    tile = R * 128
 
-    def kernel(a_off_r, b_off_r, pure_r, abuf, bbuf, bc_hbm, carry, wa2,
-               wb2, ring, stage, sema2, semb2, semf):
+    def kernel(abuf, bbuf, bc_hbm, carry, wa, wb, ring, stage,
+               sema, semb, semf):
         t = pl.program_id(0)
         nt = pl.num_programs(0)
         last = nt - 1
-
-        def dmas(tt, slot):
-            a_off = a_off_r[tt]
-            b_off = b_off_r[tt]
-            ra = jnp.minimum(jax.lax.shift_right_logical(a_off, 7), rows_a)
-            rb = jnp.minimum(jax.lax.shift_right_logical(b_off, 7), rows_b)
-            return (
-                pltpu.make_async_copy(
-                    abuf.at[pl.ds(ra, Rw)], wa2.at[slot], sema2.at[slot]
-                ),
-                pltpu.make_async_copy(
-                    bbuf.at[pl.ds(rb, Rw)], wb2.at[slot], semb2.at[slot]
-                ),
-            )
 
         @pl.when(t == 0)
         def _():
@@ -545,42 +545,54 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
             carry[_CS_BASE] = I32_MIN
             carry[_CS_W] = 0
             carry[_CS_ROW] = 0
-            for c in dmas(0, 0):
-                c.start()
+            carry[_MC_APOS] = 0
+            carry[_MC_BPOS] = 0
 
-        @pl.when(t + 1 < nt)
-        def _():
-            for c in dmas(t + 1, (t + 1) & 1):
-                c.start()
+        a_pos = carry[_MC_APOS]
+        b_pos = carry[_MC_BPOS]
+        e_b = (nB - b_pos - tile) + S_B  # flipped-window element offset
+        ra = jnp.minimum(jax.lax.shift_right_logical(a_pos, 7), rows_a)
+        rb = jnp.minimum(jax.lax.shift_right_logical(e_b, 7), rows_b)
+        ca = pltpu.make_async_copy(abuf.at[pl.ds(ra, Rw)], wa, sema)
+        cb = pltpu.make_async_copy(bbuf.at[pl.ds(rb, Rw)], wb, semb)
+        ca.start()
+        cb.start()
+        ca.wait()
+        cb.wait()
 
-        slot = t & 1
-        for c in dmas(t, slot):
-            c.wait()
-
-        a_off = a_off_r[t]
-        b_off = b_off_r[t]
-        ak = fv.shift_flat_left_dyn(wa2[slot], a_off & 127, Rw, I32_MAX)[0:R]
+        ak = fv.shift_flat_left_dyn(wa[...], a_pos & 127, Rw, I32_MAX)[0:R]
+        bk = fv.shift_flat_left_dyn(wb[...], e_b & 127, Rw, I32_MAX)[0:R]
         flat = fv.flat_index(R)
 
-        @pl.when(pure_r[t] == 0)
+        # pure-probe tile: A's window max <= B's smallest remaining, and
+        # the window lies inside the REAL probes (A's sort padding is
+        # build-tagged); the last tile owns the final ring flush
+        pure = (
+            (ak[R - 1, 127] <= bk[R - 1, 127])
+            & (a_pos + tile <= n_real)
+            & (t != last)
+        )
+
+        @pl.when(jnp.logical_not(pure))
         def _slow():
-            bk = fv.shift_flat_left_dyn(
-                wb2[slot], b_off & 127, Rw, I32_MAX
-            )[0:R]
             x = jnp.minimum(ak, bk)
             for k_log in range(_MC_TILE_LOG - 1, -1, -1):
                 x = _bitonic_stage(x, flat, k_log, R)
-            _counts_scan_tile(x, t, last, bc_hbm, carry, ring, stage,
-                              semf, R)
+            k_t = _counts_scan_tile(
+                x, t, last, bc_hbm, carry, ring, stage, semf, R
+            )
+            # cursor advance: the tile's probes all came from A; pads
+            # (both sides' +INF) land on B's account and the clamps
+            # absorb the endgame miscount — pad values are identical
+            carry[_MC_APOS] = jnp.minimum(a_pos + (tile - k_t), nA)
+            carry[_MC_BPOS] = jnp.minimum(b_pos + k_t, nB)
 
-        @pl.when(pure_r[t] != 0)
+        @pl.when(pure)
         def _fast():
-            # tile is entirely REAL PROBES (driver-checked; never the
-            # last tile): the merge is the identity and the scan's
-            # carries have closed forms — cp grows by tile; the base
-            # carry is cpx = flat + cp_in at the tile's LAST run start
-            # (cpx is monotone in flat, so the prefix-max ladder reduces
-            # to one max); no builds, so nothing joins the ring.
+            # identity merge; closed-form scan carries — cp grows by
+            # tile; base = cpx at the tile's LAST run start (cpx is
+            # monotone in flat, so the prefix-max ladder is one max);
+            # no builds, nothing joins the ring
             key = jax.lax.shift_right_arithmetic(ak, 1)
             prev = fv.shift_flat_right(key, 1, R, 0)
             prev = jnp.where(flat == 0, carry[_CS_PREV], prev)
@@ -590,48 +602,11 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int):
                 jnp.maximum(carry[_CS_BASE], p_star + carry[_CS_CP]),
                 carry[_CS_BASE],
             )
-            carry[_CS_CP] = carry[_CS_CP] + R * 128
+            carry[_CS_CP] = carry[_CS_CP] + tile
             carry[_CS_PREV] = key[R - 1, 127]
+            carry[_MC_APOS] = a_pos + tile
 
     return kernel
-
-
-def _merge_splits_fused(abuf_flat, nA: int, b32, nB: int, n_tiles: int,
-                        tile_log: int):
-    """Per-output-tile A split for merging (A = abuf's first nA ops,
-    ascending; B = b32 ascending): max a with A[a-1] <= B[d-a], ties to
-    A (real operands never tie across sides — tag parity differs)."""
-    from ccve_tpu.kernels.bigsort import I32_MAX as IMAX
-    from ccve_tpu.kernels.bigsort import I32_MIN as IMIN
-
-    tile = 1 << tile_log
-    t = jnp.arange(n_tiles, dtype=jnp.int32)
-    d = t * tile
-
-    def fetch_a(off):
-        v = jnp.take(abuf_flat, jnp.clip(off, 0, nA - 1), mode="clip")
-        v = jnp.where(off >= nA, IMAX, v)
-        return jnp.where(off < 0, IMIN, v)
-
-    def fetch_b(j):
-        v = jnp.take(b32, jnp.clip(j, 0, nB - 1), mode="clip")
-        v = jnp.where(j >= nB, IMAX, v)
-        return jnp.where(j < 0, IMIN, v)
-
-    # clip keeps lo <= hi even for past-the-stream diagonals (the driver
-    # asks for one extra split to classify pure-A tiles)
-    lo = jnp.clip(d - nB, 0, nA)
-    hi = jnp.minimum(d, nA)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi + 1) >> 1
-        ok = fetch_a(mid - 1) <= fetch_b(d - mid)
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
-
-    iters = max(nA, nB).bit_length() + 1
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return lo.astype(jnp.int32)
 
 
 def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
@@ -664,66 +639,45 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
 
     # B: reversed, +INF front slack (the flipped window's past-the-end
     # region) and tail slack for the shifted row loads
-    S_b = tile + 1024
     tail = (R + 8) * 128 + ((-m) % 128)
     IMAX = np.int32(np.iinfo(np.int32).max)
     bbuf = jnp.concatenate(
         [
-            jnp.full(S_b, IMAX, jnp.int32),
+            jnp.full(S_B, IMAX, jnp.int32),
             b32[::-1],
             jnp.full(tail, IMAX, jnp.int32),
         ]
     ).reshape(-1, 128)
-
-    a_ext = _merge_splits_fused(
-        abuf.reshape(-1), nA, b32, nB, n_tiles + 1, _MC_TILE_LOG
-    )
-    a_split = a_ext[:-1]
-    d = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-    sb = d - a_split
-    b_woff = S_b + nB - sb - tile  # flipped-window element offset
-    # pure-probe fast-path tiles: all `tile` outputs come from A AND lie
-    # inside the REAL probes (A's sort-padding is build-tagged); never
-    # the last tile (it owns the final ring flush)
-    pure = (
-        (a_ext[1:] - a_split == tile)
-        & (a_split + tile <= n_real)
-        & (jnp.arange(n_tiles) < n_tiles - 1)
-    ).astype(jnp.int32)
 
     # appended count values = all build-tagged elements = n_tiles*tile
     # minus the real probes
     out_rows = -(-(n_tiles * tile - n_real + tile) // 128) + R
     Rw = R + 8
     with jax.enable_x64(False):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+        bc = pl.pallas_call(
+            _make_merge_counts_kernel(
+                R, rows_a - Rw, bbuf.shape[0] - Rw, nA, nB, n_real
+            ),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
             scratch_shapes=[
-                pltpu.SMEM((5,), jnp.int32),
-                pltpu.VMEM((2, Rw, 128), jnp.int32),  # A windows x2 slots
-                pltpu.VMEM((2, Rw, 128), jnp.int32),  # B windows x2 slots
+                pltpu.SMEM((7,), jnp.int32),
+                pltpu.VMEM((Rw, 128), jnp.int32),
+                pltpu.VMEM((Rw, 128), jnp.int32),
                 pltpu.VMEM((2 * R, 128), jnp.int32),
                 pltpu.VMEM((R, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
-        )
-        bc = pl.pallas_call(
-            _make_merge_counts_kernel(
-                R, rows_a - Rw, bbuf.shape[0] - Rw
-            ),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
             compiler_params=_VMEM_BIG,
             interpret=interpret,
-        )(a_split, b_woff, pure, abuf, bbuf)
+        )(abuf, bbuf)
     return bc.reshape(-1)[:m]
 
 
