@@ -140,11 +140,9 @@ def _make_ring_kernel(L: int, R: int):
     return kernel
 
 
-def pallas_compact(cols: jax.Array, mask: jax.Array,
-                   interpret: bool = False):
-    """Compact int64[C, n] by bool[n]; returns (int64[C, n], int32 count).
-    n must be a multiple of 128."""
-    C, n = cols.shape
+def _compact_limbs(limbs: jax.Array, mask: jax.Array, interpret: bool):
+    """Shared driver: i32[L, n] planes by bool[n] -> (i32[L, n], count)."""
+    L, n = limbs.shape
     assert n % 128 == 0, f"n={n} must be a multiple of 128"
     # power-of-two tile rows: the prefix/butterfly ladder depths and the
     # ring roll assume it (and Mosaic needs sublane counts % 8 == 0)
@@ -152,12 +150,6 @@ def pallas_compact(cols: jax.Array, mask: jax.Array,
     tile = R * 128
     pad = (-n) % tile
     npad = n + pad
-
-    u = cols.astype(jnp.uint64)
-    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
-    hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
-    limbs = jnp.concatenate([lo, hi], axis=0)  # [2C, n]
-    L = 2 * C
     if pad:
         limbs = jnp.concatenate(
             [limbs, jnp.zeros((L, pad), jnp.int32)], axis=1
@@ -173,9 +165,28 @@ def pallas_compact(cols: jax.Array, mask: jax.Array,
         out_limbs, count = _ring_call(
             npad // tile, L, R, out_rows, mask2, limbs3, interpret
         )
+    return out_limbs.reshape(L, out_rows * 128)[:, :n], count[0, 0]
 
-    flat = out_limbs.reshape(L, out_rows * 128)[:, :n]
+
+def pallas_compact_i32(cols: jax.Array, mask: jax.Array,
+                       interpret: bool = False):
+    """Compact int32[C, n] planes by bool[n]; returns (int32[C, n],
+    int32 count) — rows where mask holds, packed to the front, order
+    preserved. n a multiple of 128."""
+    return _compact_limbs(cols.astype(jnp.int32), mask, interpret)
+
+
+def pallas_compact(cols: jax.Array, mask: jax.Array,
+                   interpret: bool = False):
+    """Compact int64[C, n] by bool[n]; returns (int64[C, n], int32 count).
+    n must be a multiple of 128."""
+    C, n = cols.shape
+    u = cols.astype(jnp.uint64)
+    lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+    hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
+    limbs = jnp.concatenate([lo, hi], axis=0)  # [2C, n]
+    flat, count = _compact_limbs(limbs, mask, interpret)
     lo = flat[:C].astype(jnp.uint32).astype(jnp.uint64)
     hi = flat[C:].astype(jnp.uint32).astype(jnp.uint64)
     out = lo | (hi << jnp.uint64(32))
-    return out.astype(jnp.int64), count[0, 0]
+    return out.astype(jnp.int64), count

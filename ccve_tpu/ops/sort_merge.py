@@ -605,11 +605,29 @@ def _sorted_expand_pallas(
         pay_f.append(payf)
 
     key2 = jnp.concatenate(key2_f)
-    rows2, (mk2, pv2) = ps.pallas_sort_multi_i32(
-        key2,
-        [jnp.concatenate(mkey_f), jnp.concatenate(pay_f)],
-        tile_log=tl,
-    )
+    nc = key2.shape[0]
+    if nc % 128 == 0:
+        # stream compaction beats the compaction SORT ~15x at this scale
+        # (kernels/compact.py ring kernel: 834M rows/s vs the multi-plane
+        # sort's — and vs XLA's 53.6M — measured 2026-08-19); output
+        # order becomes merged-stream order, a triple-multiset no-op
+        from ccve_tpu.kernels.compact import pallas_compact_i32
+
+        planes = jnp.stack(
+            [key2, jnp.concatenate(mkey_f), jnp.concatenate(pay_f)]
+        )
+        packed, _cnt = pallas_compact_i32(planes, key2 != jnp.int32(n))
+        rows2, mk2, pv2 = packed[0], packed[1], packed[2]
+        # invalid tail slots hold junk — mask by `total` below as before,
+        # but rows must read n (the sentinel) past the valid prefix
+        idxc = jnp.arange(nc, dtype=jnp.int32)
+        rows2 = jnp.where(idxc < _cnt, rows2, jnp.int32(n))
+    else:
+        rows2, (mk2, pv2) = ps.pallas_sort_multi_i32(
+            key2,
+            [jnp.concatenate(mkey_f), jnp.concatenate(pay_f)],
+            tile_log=tl,
+        )
     pad = max(capacity - key2.shape[0], 0)
     if pad:
         rows2 = jnp.concatenate([rows2, jnp.full(pad, n, jnp.int32)])

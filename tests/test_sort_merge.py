@@ -286,6 +286,44 @@ def test_sorted_expand_pallas_path():
     assert triples(r1, k1, p1) == triples(r0, k0, p0)
 
 
+def test_sorted_expand_pallas_compact_branch():
+    """Sizes where the F*(m+n) candidate count is a multiple of 128:
+    the expand's final compaction dispatches to the stream-compaction
+    ring kernel (kernels/compact.pallas_compact_i32) instead of the
+    multi-plane compaction sort — same triple multiset either way."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops.sort_merge import sorted_expand
+
+    rng = np.random.default_rng(37)
+    m, n = 2560, 5120  # (m + n) % 128 == 0 -> compact branch
+    keys = np.sort(np.repeat(rng.integers(0, 900, m // 2), 2))
+    payloads = rng.integers(0, 2**20, keys.size)
+    st = build_sorted(keys, payloads)
+    assert st.pack32 is not None and st.pay32
+    assert (max(int(st.max_mult), 1) * (m + n)) % 128 == 0
+    probe = rng.integers(-5, 950, n).astype(np.int64)
+    cap = 1 << 14
+
+    r0, k0, p0, t0 = sorted_expand(
+        st, jnp.asarray(probe), cap, use_kernel=False
+    )
+    with pltpu.force_tpu_interpret_mode():
+        r1, k1, p1, t1 = sorted_expand(
+            st, jnp.asarray(probe), cap, use_kernel=True, tile_log=11
+        )
+    assert int(t0) == int(t1)
+
+    def triples(r, k, p):
+        return sorted(
+            (int(a), int(b), int(c))
+            for a, b, c in zip(np.asarray(r), np.asarray(k), np.asarray(p))
+            if a >= 0
+        )
+
+    assert triples(r1, k1, p1) == triples(r0, k0, p0)
+
+
 def test_sorted_stats_pallas_path_wide_psum():
     """Payloads too wide for the packed (psum << mult_bits | mult)
     unsort plane: the 4-plane kernel variant must kick in and agree."""
