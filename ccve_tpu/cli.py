@@ -212,9 +212,19 @@ def _add_baseline(sub):
     p = sub.add_parser(
         "baseline", help="run a BASELINE.json benchmark configuration"
     )
-    p.add_argument("--config", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    p.add_argument(
+        "--config", type=int, required=True, choices=[1, 2, 3, 4, 5, 6]
+    )
     p.add_argument(
         "--tiny", action="store_true", help="CI-sized workload (CPU-friendly)"
+    )
+    p.add_argument(
+        "--engine",
+        choices=["sort_merge", "hash_lp", "hash_csr"],
+        default=None,
+        help="probe engine for config 1 (default sort_merge); the hash "
+        "engines time the reference-shaped gather-probe formulations "
+        "at full scale",
     )
     p.set_defaults(func=cmd_baseline)
 
@@ -230,8 +240,14 @@ def cmd_baseline(args) -> int:
         3: dict(lhs=4000, rhs=256, block=256),
         4: dict(n_probe=50_000, domain=1024),
         5: dict(n_build=2048, n_probe=20_000),
+        6: dict(lhs=65536, rhs=2048, block=256, phase_chunks=32,
+                segment_chunks=4),
     }
     kwargs = tiny_kwargs[args.config] if args.tiny else {}
+    if args.engine is not None:
+        if args.config != 1:
+            raise SystemExit("--engine applies to --config 1 only")
+        kwargs["engine"] = args.engine
     result = ALL_CONFIGS[args.config](**kwargs)
     print(json.dumps(result, default=str))
     return 0

@@ -125,6 +125,25 @@ class EngineConfig:
             raise ValueError("chunk_factor must be >= 1")
 
     @property
+    def resolved_threshold_arms(self) -> tuple:
+        """Bandit arms scaled to the block size. The reference's literal
+        arm list (negative_feedback.hpp:172) tops out at 1024 — fractions
+        of its own kBlockSize family — so at the TPU-default block 2048
+        it cannot express FULL compaction (threshold == block) at all:
+        the bandit's best reachable arm is BINARY. When the default list
+        is in use and the block is larger than its top arm, re-scale the
+        same fractions to the block; custom arm tuples pass verbatim."""
+        if self.threshold_arms != DEFAULT_THRESHOLD_ARMS:
+            return self.threshold_arms
+        if self.block_size <= 1024:
+            return self.threshold_arms
+        b = self.block_size
+        return (
+            0, b // 32, b // 16, b // 8, b // 4, 3 * b // 8, b // 2,
+            3 * b // 4, b,
+        )
+
+    @property
     def compact_threshold(self) -> int:
         """Static compaction threshold for non-DYNAMIC strategies: a chunk
         with count < threshold gets compacted into the cache."""

@@ -65,6 +65,14 @@ class PipelineState(NamedTuple):
     level_steps: jax.Array  # int32[n_levels]: work-loop steps taken at each
     #   level — the device-side cost signal (each step is one fixed-shape op
     #   chain, so steps ∝ device time); feeds the on-device DYNAMIC tuner
+    level_rows: jax.Array  # int32[n_levels]: live scan rows summed over the
+    #   steps taken at each level (only maintained under DYNAMIC — a static
+    #   run never reads it). rows / (block * steps) is the level's mean
+    #   step occupancy: the phase-invariant efficiency signal the device
+    #   tuner rewards (a raw 1/steps reward conflates the arm with the
+    #   stream's load — a high-selectivity phase produces 10x the steps of
+    #   a low one no matter the threshold). Wrap-safe: rewards use
+    #   per-segment int32 deltas.
 
 
 def _deepest_pending(sc_count: jax.Array) -> jax.Array:
@@ -101,6 +109,7 @@ def init_pipeline_state(
         result_stored=jnp.asarray(0, jnp.int64),
         occupancy=jnp.zeros((n_levels, block + 1), jnp.int64),
         level_steps=jnp.zeros((n_levels,), jnp.int32),
+        level_rows=jnp.zeros((n_levels,), jnp.int32),
     )
 
 
@@ -160,8 +169,8 @@ class JoinPipeline:
         if self.lanes == 1:
             self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
             self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
-            self._process_dyn = jax.jit(
-                self._process_chunks_device_dynamic, donate_argnums=(0, 1)
+            self._process_dyn_seg = jax.jit(
+                self._process_seg_device_dynamic, donate_argnums=(0, 1)
             )
         else:
             # lane axis on pstate and the chunk stream; thresholds shared
@@ -230,11 +239,16 @@ class JoinPipeline:
         block, W, L = self.block, self.width, self.n_levels
 
         # per-level step counter (static index: `cur` is specialized)
-        st = st._replace(
-            pstate=st.pstate._replace(
-                level_steps=st.pstate.level_steps.at[cur].add(1)
-            )
+        new_ps = st.pstate._replace(
+            level_steps=st.pstate.level_steps.at[cur].add(1)
         )
+        if self.config.strategy is CompactionStrategy.DYNAMIC:
+            # occupancy signal for the tuner (see PipelineState.level_rows);
+            # static strategies skip the extra per-step op entirely
+            new_ps = new_ps._replace(
+                level_rows=new_ps.level_rows.at[cur].add(st.sc_count[cur])
+            )
+        st = st._replace(pstate=new_ps)
 
         # --- Next (scan one entry per live row) -------------------------
         blk = st.in_cols[cur]
@@ -459,42 +473,50 @@ class JoinPipeline:
         pstate, _ = jax.lax.scan(one_chunk, pstate, (chunk_cols, chunk_counts))
         return pstate
 
-    def _process_chunks_device_dynamic(
-        self, pstate, bstate, chunk_cols, chunk_counts
+    def _process_seg_device_dynamic(
+        self, pstate, bstate, cols_seg, counts_seg
     ):
-        """DYNAMIC strategy with the ON-DEVICE tuner: the whole
-        select-arm → run segment → update-arm loop runs inside ONE
-        dispatch (control/device_bandit.py). Reward per level =
-        1000 / (that level's work-loop step delta) — steps are the
-        device-time proxy (each step is one fixed-shape op chain), and
-        per-LEVEL deltas give true per-level credit, which the
-        reference's shared host timer never had (main.cpp:164-167).
+        """ONE segment of the DYNAMIC strategy with the ON-DEVICE tuner:
+        select arms → run the segment's chunks → update arms, all inside
+        the dispatch (control/device_bandit.py) — zero host syncs; the
+        host's only job is feeding batches, so the H2D upload of segment
+        k+1 overlaps the device's segment k exactly like the static
+        path. (A single whole-stream dispatch was measured 2x slower:
+        its one big batch upload — ~40 MB/s through the axon tunnel —
+        serializes ahead of the compute it could have hidden under;
+        scripts/probe_dyn_sections.py.)
 
-        chunk_cols: [n_segments, seg, n_joins, block]."""
+        Reward = the segment's mean step occupancy at the level (rows
+        per step / block): phase-invariant — a raw 1/steps reward tracks
+        the stream's load (a high-selectivity phase produces 10x the
+        steps of a low one for EVERY arm), so the bandit learned the
+        phase, not the arm. Occupancy is what the threshold actually
+        controls, and it stays in (0, 1], which also keeps the heartbeat
+        double/halve detector (negative_feedback.hpp:67-81) pointed at
+        real arm-quality shifts instead of load shifts. Per-LEVEL deltas
+        give true per-level credit, which the reference's shared host
+        timer never had (main.cpp:164-167).
+
+        cols_seg: [seg, n_joins, block]; counts_seg: [seg]."""
         from ccve_tpu.control import device_bandit as db
 
-        arms_vals = jnp.asarray(self.config.threshold_arms, jnp.int32)
-
-        def one_seg(carry, xs):
-            ps, bs_ = carry
-            cols_seg, counts_seg = xs
-            arm, bs_ = db.select_arms(bs_)
-            thresholds = jnp.take(arms_vals, arm)
-            steps0 = ps.level_steps
-
-            def one_chunk(p, x):
-                c, cnt = x
-                return self._one_chunk(p, c, cnt, thresholds), None
-
-            ps, _ = jax.lax.scan(one_chunk, ps, (cols_seg, counts_seg))
-            delta = (ps.level_steps - steps0).astype(jnp.float32)
-            reward = 1000.0 / jnp.maximum(delta, 1.0)
-            bs_ = db.update_arms(bs_, arm, reward)
-            return (ps, bs_), None
-
-        (pstate, bstate), _ = jax.lax.scan(
-            one_seg, (pstate, bstate), (chunk_cols, chunk_counts)
+        arms_vals = jnp.asarray(
+            self.config.resolved_threshold_arms, jnp.int32
         )
+        arm, bstate = db.select_arms(bstate)
+        thresholds = jnp.take(arms_vals, arm)
+        steps0 = pstate.level_steps
+        rows0 = pstate.level_rows
+
+        def one_chunk(p, x):
+            c, cnt = x
+            return self._one_chunk(p, c, cnt, thresholds), None
+
+        pstate, _ = jax.lax.scan(one_chunk, pstate, (cols_seg, counts_seg))
+        d_steps = (pstate.level_steps - steps0).astype(jnp.float32)
+        d_rows = (pstate.level_rows - rows0).astype(jnp.float32)
+        reward = d_rows / (jnp.maximum(d_steps, 1.0) * self.block)
+        bstate = db.update_arms(bstate, arm, reward)
         return pstate, bstate
 
     def _flush_all(self, pstate, thresholds):
@@ -567,6 +589,7 @@ class JoinPipeline:
             result_stored=jnp.asarray(int(stored.sum()), jnp.int64),
             occupancy=jnp.asarray(np.asarray(pstate.occupancy).sum(0)),
             level_steps=jnp.asarray(np.asarray(pstate.level_steps).sum(0)),
+            level_rows=jnp.asarray(np.asarray(pstate.level_rows).sum(0)),
         )
 
     def export_occupancy(
@@ -605,11 +628,15 @@ class JoinPipeline:
         )
 
     def _run_device_dynamic(self, make_batch, counts, n_chunks) -> dict:
-        """DYNAMIC with the on-device tuner: one dispatch for the whole
-        stream, zero per-segment host syncs (the host-bandit path pays
-        one ~28 ms relay readback per segment here — measured 2.2 s of
-        config 6's 3.5 s run). The end-of-stream flush uses each level's
-        greedy arm, read back once with the results."""
+        """DYNAMIC with the on-device tuner: one dispatch PER SEGMENT,
+        zero per-segment host syncs — the bandit state rides the device
+        between dispatches (the host-bandit path pays one ~28 ms relay
+        readback per segment here; a single whole-stream dispatch pays
+        its full batch H2D upload up front — ~0.8 s at 32 MB through the
+        axon tunnel — while per-segment dispatches overlap segment k+1's
+        upload with segment k's compute, like the static loop). The
+        end-of-stream flush uses each level's greedy arm, read back once
+        with the results."""
         from ccve_tpu.control import device_bandit as db
 
         cfg = self.config
@@ -617,30 +644,36 @@ class JoinPipeline:
         n_seg = -(-n_chunks // seg)
         total = n_seg * seg
         t0 = time.perf_counter()
-        batch = make_batch(0, n_chunks)  # [n_chunks, n_joins, block]
-        if total > n_chunks:
-            batch = np.concatenate(
-                [
-                    batch,
-                    np.zeros(
-                        (total - n_chunks,) + batch.shape[1:], np.int64
-                    ),
-                ]
-            )
-        counts_full = np.zeros(total, np.int32)
-        counts_full[:n_chunks] = counts
-        batch4 = jnp.asarray(
-            batch.reshape(n_seg, seg, cfg.n_joins, self.block)
-        )
-        counts2 = jnp.asarray(counts_full.reshape(n_seg, seg))
 
         pstate = self.fresh_state()
-        bstate = db.init_state(self.n_levels, len(cfg.threshold_arms))
-        pstate, bstate = self._process_dyn(pstate, bstate, batch4, counts2)
+        bstate = db.init_state(
+            self.n_levels, len(cfg.resolved_threshold_arms)
+        )
+        counts_full = np.zeros(total, np.int32)
+        counts_full[:n_chunks] = counts
+        for s in range(n_seg):
+            s0 = s * seg
+            cols_seg = make_batch(s0, min(s0 + seg, n_chunks))
+            if cols_seg.shape[0] < seg:  # zero-pad the tail segment
+                cols_seg = np.concatenate(
+                    [
+                        cols_seg,
+                        np.zeros(
+                            (seg - cols_seg.shape[0],) + cols_seg.shape[1:],
+                            np.int64,
+                        ),
+                    ]
+                )
+            pstate, bstate = self._process_dyn_seg(
+                pstate,
+                bstate,
+                jnp.asarray(cols_seg),
+                jnp.asarray(counts_full[s0 : s0 + seg]),
+            )
 
         # ONE readback (end of stream): greedy thresholds for the flush
         est = np.asarray(jax.device_get(bstate.est))
-        arms = np.asarray(cfg.threshold_arms, np.int32)
+        arms = np.asarray(cfg.resolved_threshold_arms, np.int32)
         thresholds = arms[est.argmax(1)]
         pstate = self._flush(pstate, jnp.asarray(thresholds))
         count = int(np.asarray(jax.device_get(pstate.result_count)))
@@ -684,7 +717,7 @@ class JoinPipeline:
             if tuner.bandit_size() < self.n_levels:
                 tuner.reset()
                 for level in range(self.n_levels):
-                    tuner.initialize(level, cfg.threshold_arms)
+                    tuner.initialize(level, cfg.resolved_threshold_arms)
             # COORDINATE EXPLORATION: one segment time cannot be split
             # across levels (the reference's per-level host timers,
             # main.cpp:143-167, need its synchronous executor), so each
