@@ -62,15 +62,31 @@ class OpModel:
         return "ALU" if self.t_alu >= self.t_hbm else "HBM"
 
 
+MC_TILE_LOG = 15  # kernels/merge_scan._MC_TILE_LOG (fused kernel tile)
+
+
 def count_side_model(n_build: int, n_probe: int) -> list[OpModel]:
     """Operator list for `sorted_match_totals`'s pack32 path: i32 pack →
-    fused in-tile Batcher presort → bitonic merge-path levels → unequal
-    build merge → dense-counts scan → payload dot."""
+    fused in-tile Batcher presort → bitonic merge-path levels, STOPPED
+    EARLY (counts are additive over probe sub-runs, so the ladder stops
+    at ~0.8·n/m runs — ops/sort_merge._count_side_bc) → per-run fused
+    merge+counts scans against the build stream → payload dot. The
+    model mirrors the engine's own skip heuristic so the speed-of-light
+    prices the algorithm actually run."""
     tile = 1 << TILE_LOG
     n_pad = n_probe + (-n_probe) % tile
     nt = n_pad // tile
-    n_levels = max(nt - 1, 0).bit_length()
+    n_levels_full = max(nt - 1, 0).bit_length()
     m = n_build
+    # the engine's early-stop heuristic (ops/sort_merge._count_side_bc)
+    import math
+
+    target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
+    skip = min(n_levels_full, max(0, int(math.log2(target_runs))))
+    n_levels = n_levels_full - skip
+    run = tile << n_levels
+    n_runs = -(-n_pad // run)
+    scanned = n_pad + n_runs * m  # fused kernel elements over all runs
 
     ops = [
         OpModel(
@@ -84,20 +100,16 @@ def count_side_model(n_build: int, n_probe: int) -> list[OpModel]:
             stage_passes=sum(range(1, TILE_LOG + 1)) * n_pad,
         ),
         OpModel(
-            f"bitonic merge-path x{n_levels} levels ({TILE_LOG} stages each)",
+            f"bitonic merge-path x{n_levels} levels ({TILE_LOG} stages"
+            f" each; {skip} levels skipped -> {n_runs} runs)",
             bytes_hbm=2 * I32 * n_pad * n_levels,
             stage_passes=TILE_LOG * n_pad * n_levels,
         ),
         OpModel(
-            "unequal merge (probe stream + pre-sorted build)",
-            bytes_hbm=2 * I32 * (n_pad + m),
-            stage_passes=TILE_LOG * (n_pad + m),
-        ),
-        OpModel(
-            "dense-counts fused scan (merge_scan_build_counts)",
-            bytes_hbm=I32 * (n_pad + m) + I32 * m,
-            # ~2 ladders x log2(tile) rounds, measured ~30 shift-passes
-            stage_passes=30 * (n_pad + m),
+            f"fused merge+counts x{n_runs} runs (merge_counts_fused: "
+            f"{MC_TILE_LOG} halver + ~30 scan passes)",
+            bytes_hbm=I32 * (scanned + n_runs * m) + I32 * m * n_runs,
+            stage_passes=(MC_TILE_LOG + 30) * scanned,
         ),
         OpModel(
             "payload dot (bc . payloads)",

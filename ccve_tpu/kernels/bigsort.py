@@ -146,7 +146,7 @@ def _bitonic_stage(x, idx, k_log: int, R: int):
 
 
 def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
-                      n_pad: int):
+                      n_pad: int, force_asc: bool = False):
     """Merge-path splits for one bitonic level over alternating-
     orientation runs of 2^run_log: even runs (A) stored ascending, odd
     runs (B) stored DESCENDING. The bisection runs on LOGICAL ascending
@@ -170,7 +170,14 @@ def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
     # merged elements [Lo-q0-tile, Lo-q0) reversed (Lo = the output
     # run's stored length) — its merge diagonal counts from that end.
     Lo = jnp.clip(n_pad - a_base, 0, 2 * L)
-    d = jnp.where((pair & 1) == 1, Lo - q0 - tile, q0)
+    # force_asc: the level's LAST pass may write every output run
+    # ascending (out_m = 0, diagonal from the front) — free, and it
+    # leaves an early-stopped buffer (n_levels_cap) directly consumable
+    # by forward scanners
+    desc_out = jnp.where(
+        jnp.bool_(not force_asc), (pair & 1) == 1, False
+    )
+    d = jnp.where(desc_out, Lo - q0 - tile, q0)
 
     def fetch_a(off):
         idx = a_base + off
@@ -204,7 +211,7 @@ def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
     # logical offsets >= La are +INF and sit at the window's FRONT
     b_off = jnp.maximum(b_base + La - sb - tile, 0)
     b_front = jnp.clip(sb + tile - La, 0, tile)
-    out_m = -(pair & 1)
+    out_m = jnp.where(desc_out, -1, 0)
     return (
         a_off.astype(jnp.int32),
         a_rem.astype(jnp.int32),
@@ -281,12 +288,26 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
     return _sort_padded_buf(x, tile_log, chunk_log).reshape(-1)[: x.shape[0]]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_log", "chunk_log"))
-def _sort_padded_buf(x, tile_log: int, chunk_log: int):
+@functools.partial(
+    jax.jit, static_argnames=("tile_log", "chunk_log", "n_levels_cap")
+)
+def _sort_padded_buf(
+    x, tile_log: int, chunk_log: int, n_levels_cap: int | None = None
+):
     """Sort i32[n_pad] (n_pad a multiple of TILE, +INF-padded). Returns
     the UNSLICED [rows(+slack), 128] buffer — positions past n_pad are
     +INF (the merge levels' end slack), which downstream fused kernels
-    use directly as window slack without a trim copy."""
+    use directly as window slack without a trim copy.
+
+    `n_levels_cap` stops the merge ladder early: only the first cap
+    merge levels run, leaving ceil(nt / 2^cap) independently sorted
+    ASCENDING runs of 2^(tile_log+cap) elements each (the final
+    performed level writes both outputs of every pair ascending —
+    force_asc costs nothing). Callers whose consumer is additive over
+    probe sub-runs (the dense-counts scan: counts per build row sum
+    over any partition of the probe stream) skip ~1.3 ms per level at
+    16M and re-scan the build stream once per extra run instead — see
+    ops/sort_merge._count_side_bc for the cost model."""
     tile = 1 << tile_log
     n_pad = x.shape[0]
     nt = n_pad // tile
@@ -294,6 +315,8 @@ def _sort_padded_buf(x, tile_log: int, chunk_log: int):
     R = tile // 128
 
     n_levels = max(nt - 1, 0).bit_length()  # ceil(log2(nt))
+    if n_levels_cap is not None:
+        n_levels = min(n_levels, n_levels_cap)
     alt = n_levels > 0  # alternate tile orientation for bitonic merges
 
     y = x.reshape(rows, 128)
@@ -333,8 +356,12 @@ def _sort_padded_buf(x, tile_log: int, chunk_log: int):
     for lvl in range(n_levels):
         run_log = tile_log + lvl
         yf = y.reshape(-1)
+        # the LAST level always writes ascending runs: for a full sort
+        # that's the single pair-0 run (force_asc is a no-op); for a
+        # capped ladder it leaves every remaining run forward-readable
         a_off, a_rem, b_off, b_front, out_m = _merge_splits_alt(
-            yf, run_log, nt, tile_log, n_pad
+            yf, run_log, nt, tile_log, n_pad,
+            force_asc=(lvl == n_levels - 1),
         )
         with jax.enable_x64(False):
             grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -512,7 +512,9 @@ _MC_APOS, _MC_BPOS = 5, 6
 
 
 def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int,
-                              nA: int, nB: int, n_real: int):
+                              nA: int, nB: int, n_real: int,
+                              a_row_off: int = 0,
+                              mask_a_end: bool = False):
     """Grid step t emits merged tile t via a SEQUENTIAL CARRIED MERGE:
     SMEM cursors (a_pos, b_pos) walk the two sorted streams — the A
     window (probe stream, ascending, +INF-padded buffer) and the flipped
@@ -551,7 +553,9 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int,
         a_pos = carry[_MC_APOS]
         b_pos = carry[_MC_BPOS]
         e_b = (nB - b_pos - tile) + S_B  # flipped-window element offset
-        ra = jnp.minimum(jax.lax.shift_right_logical(a_pos, 7), rows_a)
+        ra = jnp.minimum(
+            a_row_off + jax.lax.shift_right_logical(a_pos, 7), rows_a
+        )
         rb = jnp.minimum(jax.lax.shift_right_logical(e_b, 7), rows_b)
         ca = pltpu.make_async_copy(abuf.at[pl.ds(ra, Rw)], wa, sema)
         cb = pltpu.make_async_copy(bbuf.at[pl.ds(rb, Rw)], wb, semb)
@@ -563,6 +567,10 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int,
         ak = fv.shift_flat_left_dyn(wa[...], a_pos & 127, Rw, I32_MAX)[0:R]
         bk = fv.shift_flat_left_dyn(wb[...], e_b & 127, Rw, I32_MAX)[0:R]
         flat = fv.flat_index(R)
+        if mask_a_end:
+            # per-run invocation over a shared buffer: positions past
+            # this run's end hold the NEXT run's data, not +INF slack
+            ak = jnp.where(flat >= nA - a_pos, I32_MAX, ak)
 
         # pure-probe tile: A's window max <= B's smallest remaining, and
         # the window lies inside the REAL probes (A's sort padding is
@@ -610,21 +618,30 @@ def _make_merge_counts_kernel(R: int, rows_a: int, rows_b: int,
 
 
 def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
-                       interpret: bool = False):
+                       interpret: bool = False, a_row_off: int = 0,
+                       mask_a_end: bool = False):
     """bc int32[m] from an UNMERGED pair of sorted streams:
 
-      abuf — [rows, 128] i32 buffer whose flat prefix nA is the sorted
-             probe stream (key' << 1, even) with >= R+8 rows of +INF
-             slack past nA (bigsort._sort_padded_buf emits exactly this);
+      abuf — [rows, 128] i32 buffer whose flat slice
+             [a_row_off*128, a_row_off*128 + nA) is ONE sorted probe
+             run (key' << 1, even). Without `mask_a_end` the run must
+             be followed by >= R+8 rows of +INF slack
+             (bigsort._sort_padded_buf emits exactly this); with it,
+             positions past the run are masked in-kernel, so several
+             runs may share one buffer back to back (the early-stopped
+             partial sort — counts are additive over probe sub-runs);
       b32  — i32[m] sorted build operands (key' << 1 | 1, odd).
 
     n_real = the count of REAL probes among the nA (sort padding is
     build-tagged and contributes zero counts past bc[m-1])."""
     R = _MC_R
     tile = R * 128
-    if abuf.shape[0] * 128 < nA + (R + 8) * 128:
+    if abuf.shape[0] * 128 < a_row_off * 128 + nA + (R + 8) * 128:
         # single-tile sorts carry no end slack — pad (small n, cheap)
-        need = -(-(nA + (R + 8) * 128) // 128) - abuf.shape[0]
+        need = (
+            -(-(a_row_off * 128 + nA + (R + 8) * 128) // 128)
+            - abuf.shape[0]
+        )
         abuf = jnp.concatenate(
             [
                 abuf,
@@ -656,7 +673,8 @@ def merge_counts_fused(abuf, nA: int, n_real: int, b32, m: int,
     with jax.enable_x64(False):
         bc = pl.pallas_call(
             _make_merge_counts_kernel(
-                R, rows_a - Rw, bbuf.shape[0] - Rw, nA, nB, n_real
+                R, rows_a - Rw, bbuf.shape[0] - Rw, nA, nB, n_real,
+                a_row_off=a_row_off, mask_a_end=mask_a_end,
             ),
             grid=(n_tiles,),
             in_specs=[

@@ -323,6 +323,60 @@ def sorted_match_stats(
     return MatchStats(mult=mult, psum=psum[m:])
 
 
+def _count_side_bc(p32: jax.Array, b32: jax.Array, m: int) -> jax.Array:
+    """Dense per-build-row probe counts bc i32[m] from packed i32
+    streams (p32 = key'<<1 probes, b32 = (key'<<1)|1 builds, build
+    stream pre-sorted) — the count-side engine shared by
+    `sorted_build_counts` and `sorted_match_totals`.
+
+    The probe side does NOT need a total order: counts are additive
+    over any partition of the probe stream, so the sort ladder stops
+    early (bigsort._sort_padded_buf n_levels_cap) and the fused counts
+    kernel scans each sorted sub-run against the build stream
+    independently, summing the bc arrays. Cost model (PERF_NOTES
+    stage-cost 4.35 ps/elem): one merge level ~ 17 stage-passes over
+    n_pad; one extra run re-scans the build stream (~30 passes over m)
+    — optimum at about 0.8 * n_pad / m runs. At config 1 (16M/1M) this
+    skips 3-4 of 7 levels for ~3 ms of the 25.5 ms budget."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels.merge_scan import (
+        merge_counts_fused,
+        merge_scan_build_counts,
+    )
+
+    n = p32.shape[0]
+    tile = 1 << bs.TILE_LOG
+    if n <= (1 << bs.CHUNK_LOG):
+        s = bs.merge_sorted_i32(jax.lax.sort([p32], num_keys=1)[0], b32)
+        return merge_scan_build_counts(s, m)
+    n_pad = n + ((-n) % tile)
+    p32 = jnp.pad(
+        p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
+    )
+    nt = n_pad // tile
+    n_levels_full = max(nt - 1, 0).bit_length()
+    target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
+    skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    cap = n_levels_full - skip
+    abuf = bs._sort_padded_buf(
+        p32, bs.TILE_LOG, bs.CHUNK_LOG, n_levels_cap=cap
+    )
+    run = tile << cap
+    n_runs = -(-n_pad // run)
+    bc = None
+    for r in range(n_runs):
+        off = r * run
+        nA_r = min(run, n_pad - off)
+        n_real_r = int(np.clip(n - off, 0, nA_r))
+        bc_r = merge_counts_fused(
+            abuf, nA_r, n_real_r, b32, m,
+            a_row_off=off // 128,
+            mask_a_end=(r != n_runs - 1),
+        )
+        bc = bc_r if bc is None else bc + bc_r
+    return bc
+
+
 def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
     """Per-build-ROW probe multiplicities bc int32[m]: bc[j] = number of
     probe keys equal to table.keys[j] (table order = sorted order). The
@@ -354,22 +408,7 @@ def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
             p32 = (
                 jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1
             ).astype(jnp.int32)
-        from ccve_tpu.kernels import bigsort as bs
-        from ccve_tpu.kernels.merge_scan import (
-            merge_counts_fused,
-            merge_scan_build_counts,
-        )
-
-        n = p32.shape[0]
-        if n <= (1 << bs.CHUNK_LOG):
-            s = bs.merge_sorted_i32(jax.lax.sort([p32], num_keys=1)[0], b32)
-            return merge_scan_build_counts(s, m)
-        n_pad = n + ((-n) % (1 << bs.TILE_LOG))
-        p32 = jnp.pad(
-            p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
-        )
-        abuf = bs._sort_padded_buf(p32, bs.TILE_LOG, bs.CHUNK_LOG)
-        return merge_counts_fused(abuf, n_pad, n, b32, m)
+        return _count_side_bc(p32, b32, m)
     # general path: tag-sorted stream + XLA scans (CPU / wide keys)
     n = probe_keys.shape[0]
     keys = jnp.concatenate([table.keys, probe_keys.astype(jnp.int64)])
@@ -464,30 +503,7 @@ def sorted_match_totals(
                 jnp.clip(probe_keys - key_lo, 0, key_span - 1) << 1
             ).astype(jnp.int32)
 
-        from ccve_tpu.kernels import bigsort as bs
-        from ccve_tpu.kernels.merge_scan import (
-            merge_counts_fused,
-            merge_scan_build_counts,
-        )
-
-        n = p32.shape[0]
-        tile = 1 << bs.TILE_LOG
-        if n <= (1 << bs.CHUNK_LOG):
-            s = bs.merge_sorted_i32(jax.lax.sort([p32], num_keys=1)[0], b32)
-            bc = merge_scan_build_counts(s, m).astype(jnp.int64)
-        else:
-            n_pad = n + ((-n) % tile)
-            p32 = jnp.pad(
-                p32, (0, n_pad - n), constant_values=np.int32(2**31 - 1)
-            )
-            # sorted probe buffer keeps its +INF merge slack; the build
-            # stream folds in INSIDE the counts kernel (one less full
-            # HBM write+read and one less launch than the split
-            # merge_sorted_i32 -> merge_scan_build_counts chain)
-            abuf = bs._sort_padded_buf(p32, bs.TILE_LOG, bs.CHUNK_LOG)
-            bc = merge_counts_fused(abuf, n_pad, n, b32, m).astype(
-                jnp.int64
-            )
+        bc = _count_side_bc(p32, b32, m).astype(jnp.int64)
         return jnp.sum(bc), jnp.sum(bc * table.payloads)
 
     # remaining branches mix probe keys with int64 operands

@@ -219,3 +219,70 @@ def test_merge_counts_fused_pure_tiles():
         )
     )
     assert np.array_equal(got, ref)
+
+
+def test_merge_counts_fused_per_run_invocation():
+    """Per-run invocation over one shared buffer (a_row_off +
+    mask_a_end): counts are additive over probe sub-runs, so two
+    back-to-back sorted runs scanned independently against the build
+    stream must sum to the single-stream reference."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.merge_scan import (
+        merge_counts_fused,
+        merge_scan_build_counts,
+    )
+
+    rng = np.random.default_rng(13)
+    n1 = 256 * 128 * 2  # run 1: exactly 2 counts-tiles, 128-row aligned
+    n2 = 40_000  # run 2: ragged tail
+    m = 9_000
+    dom = 50_000
+    pk1 = np.sort(rng.integers(0, dom, n1)).astype(np.int32) * 2
+    pk2 = np.sort(rng.integers(0, dom, n2)).astype(np.int32) * 2
+    bk = (np.sort(rng.integers(0, dom, m)).astype(np.int32) * 2) | 1
+
+    s = np.sort(np.concatenate([pk1, pk2, bk]))
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(merge_scan_build_counts(jnp.asarray(s), m))
+
+    IMAX = np.int32(2**31 - 1)
+    rows = (n1 + n2 + (-n2) % 128) // 128 + 264 + 8
+    abuf = np.full((rows, 128), IMAX, np.int32)
+    abuf.reshape(-1)[:n1] = pk1
+    abuf.reshape(-1)[n1 : n1 + n2] = pk2
+    bkj = jnp.asarray(bk)
+    a = jnp.asarray(abuf)
+    got1 = np.asarray(
+        merge_counts_fused(
+            a, n1, n1, bkj, m, interpret=True, a_row_off=0,
+            mask_a_end=True,
+        )
+    )
+    got2 = np.asarray(
+        merge_counts_fused(
+            a, n2, n2, bkj, m, interpret=True, a_row_off=n1 // 128,
+            mask_a_end=False,
+        )
+    )
+    assert np.array_equal(got1 + got2, ref)
+
+
+def test_count_side_bc_partial_sort_path():
+    """_count_side_bc (early-stopped partial sort + per-run counts)
+    against a NumPy histogram oracle, at sizes that force multiple
+    runs (3 tiles, cap 0 -> 3 runs at the 0.8*n/m heuristic)."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.ops.sort_merge import _count_side_bc
+
+    rng = np.random.default_rng(17)
+    n, m, dom = 300_000, 5_000, 50_000
+    pk = rng.integers(0, dom, n).astype(np.int32)  # UNSORTED probes
+    bkeys = np.sort(rng.integers(0, dom, m)).astype(np.int32)
+    p32 = jnp.asarray(pk * 2)
+    b32 = jnp.asarray((bkeys * 2) | 1)
+    with pltpu.force_tpu_interpret_mode():
+        bc = np.asarray(_count_side_bc(p32, b32, m))
+    hist = np.bincount(pk, minlength=dom)
+    assert np.array_equal(bc, hist[bkeys])
