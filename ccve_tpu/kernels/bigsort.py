@@ -278,6 +278,119 @@ def _make_bitonic_merge_kernel(tile_log: int, rows: int,
     return kernel
 
 
+def _make_carried_merge_kernel(tile_log: int, rows: int, n_real: int,
+                               run_log: int, n_pad: int,
+                               force_asc: bool):
+    """Bitonic lower-half merge level with CARRIED SMEM cursors instead
+    of merge-path splits. TPU grids execute sequentially, so each output
+    tile advances (pos1, pos2) for the next one — the XLA-side 24-step
+    bisection (8 per-element gathers per output tile, ~0.2 ms/level at
+    16M) and its 5 scalar-prefetch operands disappear entirely.
+
+    The crossover the bisection used to find falls out of the pairing:
+    with side-1's window ascending and side-2's window read in reversed
+    logical order, s1[i] - s2[i] is nondecreasing, so there is a single
+    crossover c = #(s1[i] <= s2[i]) and the merged tile takes exactly
+    side-1's first c and side-2's first tile-c logical elements — ONE
+    compare + sum. Ties between equal values may attribute a boundary
+    element to the other stream; the values are identical, so the output
+    multiset is unchanged — which is why this kernel serves the KEY-ONLY
+    ladder only (pairsort's cargo merges keep the bisection: swapping
+    equal-keyed tuples would swap their cargo).
+
+    Orientation contract matches _merge_splits_alt: even input runs
+    stored ascending, odd stored descending; output run r stored
+    descending for odd r unless `force_asc` (the ladder's last level).
+    DESC-output pairs store tiles in reverse logical order, which a
+    forward cursor cannot walk — so they run in COMPLEMENT space: the
+    ascending merge of {~a} u {~b} walked forward IS the reversed real
+    merge, and complementing swaps the sides' roles (~B is stored
+    ascending, ~A reads flipped). m = -(pair&1) complements loads and
+    the stored output — the same parity-NOT the whole ladder uses.
+    n_pad being a tile multiple keeps every run length a tile multiple,
+    so pair output lengths never straddle a tile."""
+    R = 1 << (tile_log - 7)
+    Rw = R + 8
+    tile = 1 << tile_log
+    L = 1 << run_log
+    pair_shift = run_log + 1 - tile_log  # output tiles per pair
+
+    def kernel(y_hbm, o_ref, carry, w1, w2, sem1, sem2):
+        t = pl.program_id(0)
+
+        @pl.when(t < n_real)
+        def _merge():
+            pair = jax.lax.shift_right_logical(t, pair_shift)
+
+            @pl.when((t & ((1 << pair_shift) - 1)) == 0)
+            def _reset():
+                carry[0] = 0  # pos1: side-1 logical elements consumed
+                carry[1] = 0  # pos2: side-2 logical elements consumed
+
+            pos1 = carry[0]
+            pos2 = carry[1]
+            a_base = pair << (run_log + 1)
+            b_base = a_base + L
+            len_a = jnp.clip(n_pad - a_base, 0, L)  # stored run lengths
+            len_b = jnp.clip(n_pad - b_base, 0, L)
+            if force_asc:
+                m = jnp.int32(0)
+                swap = jnp.bool_(False)
+            else:
+                m = (-(pair & 1)).astype(jnp.int32)
+                swap = (pair & 1) == 1
+            base1 = jnp.where(swap, b_base, a_base)
+            len1 = jnp.where(swap, len_b, len_a)
+            base2 = jnp.where(swap, a_base, b_base)
+            len2 = jnp.where(swap, len_a, len_b)
+
+            abs1 = base1 + pos1
+            valid1 = jnp.clip(len1 - pos1, 0, tile)
+            valid2 = jnp.clip(len2 - pos2, 0, tile)
+            # stored window of side-2's reversed logical slice [pos2,
+            # pos2+tile): ENDS at stored base2 + len2-1-pos2, so it
+            # starts tile-1 earlier; exhausted logical offsets sit at
+            # the window's FRONT (same layout as _merge_splits_alt)
+            off2 = jnp.maximum(base2 + len2 - pos2 - tile, 0)
+            front2 = jnp.clip(pos2 + tile - len2, 0, tile)
+
+            r1 = jnp.minimum(jax.lax.shift_right_logical(abs1, 7), rows)
+            r2 = jnp.minimum(jax.lax.shift_right_logical(off2, 7), rows)
+            c1 = pltpu.make_async_copy(y_hbm.at[pl.ds(r1, Rw)], w1, sem1)
+            c2 = pltpu.make_async_copy(y_hbm.at[pl.ds(r2, Rw)], w2, sem2)
+            c1.start()
+            c2.start()
+            c1.wait()
+            c2.wait()
+
+            s1 = fv.shift_flat_left_dyn(w1[...], abs1 & 127, Rw, I32_MAX)[0:R]
+            s2 = fv.shift_flat_left_dyn(w2[...], off2 & 127, Rw, I32_MAX)[0:R]
+            flat = fv.flat_index(R)
+            # complement into working space FIRST, then mask with +INF
+            s1 = jnp.where(flat >= valid1, I32_MAX, s1 ^ m)
+            s2 = jnp.where(flat < front2, I32_MAX, s2 ^ m)
+
+            # the indicator is a prefix property (single crossover), so
+            # the count is a MAX — jnp.sum would promote its accumulator
+            # to i64 at Mosaic-lowering time (PERF_NOTES gotchas)
+            c = jnp.max(jnp.where(s1 <= s2, flat + 1, 0))
+            taken1 = jnp.minimum(c, valid1)
+            taken2 = jnp.minimum(tile - taken1, valid2)
+            carry[0] = pos1 + taken1
+            carry[1] = pos2 + taken2
+
+            x = jnp.minimum(s1, s2)
+            for k_log in range(tile_log - 1, -1, -1):
+                x = _bitonic_stage(x, flat, k_log, R)
+            o_ref[...] = x ^ m
+
+        @pl.when(t >= n_real)
+        def _slack():
+            o_ref[...] = jnp.full((R, 128), I32_MAX, jnp.int32)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -289,10 +402,15 @@ def _sort_padded(x, tile_log: int, chunk_log: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_log", "chunk_log", "n_levels_cap")
+    jax.jit,
+    static_argnames=("tile_log", "chunk_log", "n_levels_cap", "carried"),
 )
 def _sort_padded_buf(
-    x, tile_log: int, chunk_log: int, n_levels_cap: int | None = None
+    x,
+    tile_log: int,
+    chunk_log: int,
+    n_levels_cap: int | None = None,
+    carried: bool = True,
 ):
     """Sort i32[n_pad] (n_pad a multiple of TILE, +INF-padded). Returns
     the UNSLICED [rows(+slack), 128] buffer — positions past n_pad are
@@ -355,13 +473,40 @@ def _sort_padded_buf(
     pad2 = jnp.zeros(2, jnp.int32)
     for lvl in range(n_levels):
         run_log = tile_log + lvl
-        yf = y.reshape(-1)
         # the LAST level always writes ascending runs: for a full sort
         # that's the single pair-0 run (force_asc is a no-op); for a
         # capped ladder it leaves every remaining run forward-readable
+        force_asc = lvl == n_levels - 1
+        if carried:
+            # key-only ladder: carried SMEM cursors, no XLA bisection
+            with jax.enable_x64(False):
+                y = pl.pallas_call(
+                    _make_carried_merge_kernel(
+                        tile_log, rows + R - 8, nt, run_log, n_pad,
+                        force_asc,
+                    ),
+                    grid=(nt + 2,),
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                    out_specs=pl.BlockSpec(
+                        (R, 128), lambda t: (t, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    out_shape=jax.ShapeDtypeStruct(
+                        (rows + 2 * R, 128), jnp.int32
+                    ),
+                    scratch_shapes=[
+                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.VMEM((Rw, 128), jnp.int32),
+                        pltpu.VMEM((Rw, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                    ],
+                    compiler_params=_VMEM_BIG,
+                )(y)
+            continue
+        yf = y.reshape(-1)
         a_off, a_rem, b_off, b_front, out_m = _merge_splits_alt(
-            yf, run_log, nt, tile_log, n_pad,
-            force_asc=(lvl == n_levels - 1),
+            yf, run_log, nt, tile_log, n_pad, force_asc=force_asc
         )
         with jax.enable_x64(False):
             grid_spec = pltpu.PrefetchScalarGridSpec(

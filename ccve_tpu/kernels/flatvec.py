@@ -107,6 +107,26 @@ def prefix_sum_i32(x, R: int, n_rounds: int):
     return acc
 
 
+def prefix_sum_i32_mxu(x, R: int):
+    """Inclusive flat prefix sum via three MXU matmuls: within-row
+    prefix (x @ upper-tri), row totals (x @ ones), and row offsets
+    (strict-lower-tri @ totals). EXACT while the total stays < 2^24
+    (f32 integer window) — the counts kernels' tile sums are <= R*128.
+    ~3 pass-equivalents instead of log2(R*128) Hillis rounds of
+    shift+add; use inside large-tile kernels (R >= 32)."""
+    xf = x.astype(jnp.float32)
+    k = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    upper = (k <= j).astype(jnp.float32)
+    row_prefix = jax.lax.dot(xf, upper)
+    row_tot = jax.lax.dot(xf, jnp.ones((128, 128), jnp.float32))
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    strict_lower = (q < r).astype(jnp.float32)
+    offs = jax.lax.dot(strict_lower, row_tot)
+    return (row_prefix + offs).astype(jnp.int32)
+
+
 def prefix_max_i32(x, R: int, n_rounds: int):
     """Inclusive flat prefix max."""
     acc = x

@@ -364,7 +364,13 @@ def _counts_scan_tile(s, i, last, bc_hbm, carry, ring, stage, sem, R: int):
 
     ib = s & 1
     ip = 1 - ib
-    cp_local = fv.prefix_sum_i32(ip, R, rounds)
+    # MXU prefix beats the Hillis ladder ~5x at these tile sizes (tile
+    # sums <= R*128 << 2^24, so the f32 matmuls are exact)
+    cp_local = (
+        fv.prefix_sum_i32_mxu(ip, R)
+        if R >= 32
+        else fv.prefix_sum_i32(ip, R, rounds)
+    )
     cp = cp_local + carry[_CS_CP]
 
     key = jax.lax.shift_right_arithmetic(s, 1)

@@ -50,3 +50,84 @@ def test_merge_sorted_two_runs():
                 )
             )
         assert np.array_equal(got, ref), (nA, nB)
+
+
+def test_carried_merge_matches_split_path():
+    """The carried-cursor merge levels (SMEM crossover counting, desc
+    pairs in complement space) must equal the merge-path-split kernel
+    exactly on distinct keys, at every cap, across odd/even/truncated
+    tile counts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.kernels import bigsort as bs
+
+    rng = np.random.default_rng(5)
+    tl, cl = 11, 8
+    tile = 1 << tl
+    for nt in [2, 3, 5, 13]:
+        n_pad = nt * tile
+        x = rng.permutation(
+            np.arange(-n_pad // 2, n_pad - n_pad // 2, dtype=np.int32)
+        )  # distinct values: outputs must match element-for-element
+        with pltpu.force_tpu_interpret_mode():
+            for cap in [None, 1, 2]:
+                got_c = np.asarray(
+                    bs._sort_padded_buf(
+                        jnp.asarray(x), tl, cl, n_levels_cap=cap,
+                        carried=True,
+                    )
+                ).reshape(-1)[:n_pad]
+                got_s = np.asarray(
+                    bs._sort_padded_buf(
+                        jnp.asarray(x), tl, cl, n_levels_cap=cap,
+                        carried=False,
+                    )
+                ).reshape(-1)[:n_pad]
+                assert np.array_equal(got_c, got_s), (nt, cap)
+
+
+def test_carried_merge_tie_heavy():
+    """Massive duplicates: crossover ties may attribute equal values to
+    either stream — the multiset and per-run ordering must still hold."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.kernels import bigsort as bs
+
+    rng = np.random.default_rng(6)
+    tl, cl = 11, 8
+    tile = 1 << tl
+    for nt, dom in [(5, 7), (13, 3), (8, 1)]:
+        n_pad = nt * tile
+        x = rng.integers(0, dom, n_pad).astype(np.int32)
+        with pltpu.force_tpu_interpret_mode():
+            for cap in [None, 2]:
+                got = np.asarray(
+                    bs._sort_padded_buf(
+                        jnp.asarray(x), tl, cl, n_levels_cap=cap,
+                        carried=True,
+                    )
+                ).reshape(-1)
+                n_levels = max(nt - 1, 0).bit_length()
+                k = n_levels if cap is None else min(cap, n_levels)
+                run = tile << k
+                for s in range(0, n_pad, run):
+                    r = got[s : min(s + run, n_pad)]
+                    assert (np.diff(r) >= 0).all(), (nt, dom, cap, s)
+                assert np.array_equal(np.sort(got[:n_pad]), np.sort(x))
+
+
+def test_prefix_sum_mxu_matches_ladder():
+    """MXU matmul prefix sum == flat cumsum on the row-major layout.
+    (The Hillis ladder itself needs pltpu.roll, which only evaluates
+    inside a kernel — NumPy is the oracle here.)"""
+    import jax
+
+    from ccve_tpu.kernels import flatvec as fv
+
+    rng = np.random.default_rng(7)
+    for R in [32, 64, 256]:
+        xh = rng.integers(0, 2, (R, 128)).astype(np.int32)
+        ref = np.cumsum(xh.reshape(-1)).reshape(R, 128).astype(np.int32)
+        with jax.enable_x64(False):
+            b = np.asarray(fv.prefix_sum_i32_mxu(jnp.asarray(xh), R))
+        assert np.array_equal(ref, b), R
