@@ -24,6 +24,13 @@ v5e behind this container (PERF_NOTES.md):
                 (PERF_NOTES.md "Sort wall — CONVERGED"; both the fused
                 in-tile Batcher and the bitonic merge levels sit on it)
 
+INDEPENDENT ANCHORS (cli roofline --anchor, measured on chip
+2026-08-19, see `measure_anchors`): a non-engine Pallas kernel's
+K-slope gives 4.78 ps/elem/stage = 1.10x the constant, and XLA's own
+batched sort pays 7.92 ps = 1.82x — the model is not self-referentially
+generous; the engine's kernels are faster per stage than the compiler's
+own sort.
+
 Run `python -m ccve_tpu.cli roofline [--n-build N --n-probe N]`, or
 pass `measured_s` (e.g. bench.py's sustained ms/batch) to get the
 percent-of-speed-of-light figure.
@@ -161,6 +168,127 @@ def report(
             f"({n_probe / measured_s / 1e6:.1f}M rows/s)"
         )
     return "\n".join(lines)
+
+
+def measure_anchors(n: int = 1 << 24, niter: int = 16) -> str:
+    """Independent cross-checks of STAGE_COST, so pct_of_sol is not
+    graded by constants calibrated from the very kernels it grades:
+
+      A. the K-SLOPE of a non-engine Pallas kernel running K unrolled
+         CE stage passes per tile visit: (t(64) - t(16)) / 48 stages
+         isolates the marginal ALU cost per stage with the HBM round
+         trip and launch costs differenced away (a single isolated
+         stage is HBM-bound at ~16 B/elem and reads 25x the constant —
+         the first, wrong, version of this anchor);
+      B. XLA's own batched sort of the same data as [n/8192, 8192] —
+         its per-element per-Batcher-stage cost (8192-run network = 91
+         stage-passes), i.e. what the COMPILER's sort pays per stage.
+
+    Run on the chip (device fori_loop, accumulator-dependent bias, one
+    scalar readback — PERF_NOTES measurement rules). A is the apples-
+    to-apples check: if A >> STAGE_COST the model is too generous; if
+    XLA's B is cheaper per stage than our kernels, the sort wall is
+    software, not hardware."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.kernels import flatvec as fv
+
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.integers(0, 2**30, n).astype(np.int32))
+
+    R = 1024  # one [1024, 128] tile per grid step, like the engine
+    rows = n // 128
+
+    def make_ce_kernel(K: int):
+        def ce_kernel(x_ref, o_ref):
+            x = x_ref[:]
+            flat = fv.flat_index(R)
+            for s in range(K):
+                k = 1 << (s % 3)  # cycle strides 1/2/4 like a network
+                up = fv.shift_flat_left(x, k, R)
+                dn = fv.shift_flat_right(x, k, R, 0)
+                is_lo = (flat & k) == 0
+                x = jnp.where(
+                    is_lo, jnp.minimum(x, up), jnp.maximum(x, dn)
+                )
+            o_ref[:] = x
+
+        return ce_kernel
+
+    spec = pl.BlockSpec((R, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def stages(x2d, K: int):
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                make_ce_kernel(K),
+                grid=(rows // R,),
+                in_specs=[spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            )(x2d)
+
+    def timed(fn, arg):
+        out = fn(arg)
+        np.asarray(jax.device_get(jnp.ravel(out)[:1]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(arg)
+            np.asarray(jax.device_get(jnp.ravel(out)[:1]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnums=1)
+    def stage_loop(x, K):
+        def body(_, carry):
+            acc, xx = carry
+            y = stages(xx, K)
+            return acc + y[0, 0].astype(jnp.int64), y
+
+        return jax.lax.fori_loop(
+            0, niter, body, (jnp.int64(0), x.reshape(rows, 128))
+        )[0]
+
+    t16 = timed(lambda x: stage_loop(x, 16), x0) / niter
+    t64 = timed(lambda x: stage_loop(x, 64), x0) / niter
+    a_cost = (t64 - t16) / 48 / n
+
+
+    runs = n // 8192
+    stages_8192 = sum(range(1, 14))  # Batcher network for 2^13 = 91
+
+    @jax.jit
+    def xla_sort_loop(x):
+        def body(_, carry):
+            acc, xx = carry
+            s = jax.lax.sort(xx.reshape(runs, 8192), dimension=1)
+            bias = jnp.where(acc < 0, jnp.int32(1), jnp.int32(0))
+            return acc + s[0, 0].astype(jnp.int64), xx + bias
+
+        return jax.lax.fori_loop(0, niter, body, (jnp.int64(0), x))[0]
+
+    t_xla = timed(xla_sort_loop, x0) / niter
+    b_cost = t_xla / (n * stages_8192)
+
+    return (
+        f"STAGE_COST anchors @ n={n / 1e6:.1f}M i32 "
+        f"(model constant {STAGE_COST * 1e12:.2f} ps/elem/stage):\n"
+        f" A. non-engine CE kernel K-slope (t64 {t64 * 1e3:.2f} / t16 "
+        f"{t16 * 1e3:.2f} ms): {a_cost * 1e12:.2f} ps/elem/stage "
+        f"= {a_cost / STAGE_COST:.2f}x model\n"
+        f" B. XLA batched sort [{runs}, 8192]: {t_xla * 1e3:.2f} ms / "
+        f"{stages_8192} Batcher stages -> {b_cost * 1e12:.2f} "
+        f"ps/elem/stage = {b_cost / STAGE_COST:.2f}x model"
+    )
 
 
 if __name__ == "__main__":

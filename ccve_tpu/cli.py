@@ -262,14 +262,23 @@ def _add_roofline(sub):
     p.add_argument("--n-build", type=int, default=1_000_000)
     p.add_argument("--n-probe", type=int, default=16_000_000)
     p.add_argument("--measured-ms", type=float, default=None)
+    p.add_argument(
+        "--anchor",
+        action="store_true",
+        help="measure the independent STAGE_COST anchors on the chip "
+        "(a non-engine Pallas CE stage + XLA's own batched sort) and "
+        "print them against the model constant",
+    )
     p.set_defaults(func=cmd_roofline)
 
 
 def cmd_roofline(args) -> int:
-    from ccve_tpu.bench.roofline import report
+    from ccve_tpu.bench.roofline import measure_anchors, report
 
     measured = args.measured_ms / 1e3 if args.measured_ms else None
     print(report(args.n_build, args.n_probe, measured))
+    if args.anchor:
+        print(measure_anchors())
     return 0
 
 
