@@ -97,7 +97,12 @@ def main() -> None:
 
     def run():
         res = bulk_count([sorted_table], probe_dev)
-        jax.block_until_ready(res)
+        # honest sync: block_until_ready returns EARLY through the axon
+        # relay (PERF_NOTES.md "Relay-sync measurement rules"); a scalar
+        # host readback is the only wait that holds. The ~15-30 ms relay
+        # round trip is included — which is why the headline below uses
+        # the sustained device-side loop instead.
+        int(res.count)
         return res
 
     res = run()  # warm-up / compile

@@ -71,7 +71,14 @@ def _sync(out):
 
 def _time(fn, warmup=1, reps=3):
     for _ in range(warmup):
+        t0 = time.perf_counter()
         _sync(fn())
+        warm = time.perf_counter() - t0
+    if warm > 5.0:
+        # full-scale (reference 134M-key) regime: one warm execution
+        # already amortizes the relay sync to <1%; extra reps would
+        # triple a multi-minute run for no precision gain
+        reps = 1
     best = float("inf")
     out = None
     for _ in range(reps):
@@ -245,7 +252,11 @@ def run_phased_variant(
 
 
 def run_micro_bench(
-    scale: int = 0, hit_freq: int = 1, chunk_factor: int = 1, n_keys: int | None = None
+    scale: int = 0,
+    hit_freq: int = 1,
+    chunk_factor: int = 1,
+    n_keys: int | None = None,
+    variants: tuple[str, ...] = ("bulk", "staged", "phased"),
 ) -> list[VariantResult]:
     """The full matrix. Geometry mirrors simd_micro_bench.cpp:62-63:
     block = 256 << scale (rounded up to a multiple of 128), rhs_tuples =
@@ -262,14 +273,22 @@ def run_micro_bench(
     keys_dev = jax.device_put(jnp.asarray(keys))
     jax.block_until_ready(keys_dev)
 
-    results = [
-        run_bulk_variant(lp, keys_dev, "bulk_fused_lp"),
-        run_bulk_variant(csr, keys_dev, "bulk_fused_csr"),
-        run_staged_variant(lp, keys_dev, block, "staged_scan_lp"),
-        run_staged_variant(csr, keys_dev, block, "staged_scan_csr"),
-        run_phased_variant(lp, keys_dev, block, "phased_lp"),
-        run_phased_variant(csr, keys_dev, block, "phased_csr"),
-    ]
+    results = []
+    if "bulk" in variants:
+        results += [
+            run_bulk_variant(lp, keys_dev, "bulk_fused_lp"),
+            run_bulk_variant(csr, keys_dev, "bulk_fused_csr"),
+        ]
+    if "staged" in variants:
+        results += [
+            run_staged_variant(lp, keys_dev, block, "staged_scan_lp"),
+            run_staged_variant(csr, keys_dev, block, "staged_scan_csr"),
+        ]
+    if "phased" in variants:
+        results += [
+            run_phased_variant(lp, keys_dev, block, "phased_lp"),
+            run_phased_variant(csr, keys_dev, block, "phased_csr"),
+        ]
     counts = {r.tuples for r in results}
     assert len(counts) == 1, f"variant tuple counts disagree: {counts}"
     return results

@@ -66,6 +66,13 @@ def _add_micro(sub):
     p.add_argument("--hit-frequency", type=int, default=1)
     p.add_argument("--chunk-factor", type=int, default=1)
     p.add_argument("--n-keys", type=int, default=1 << 24)
+    p.add_argument(
+        "--variants",
+        default="bulk,staged,phased",
+        help="comma list from {bulk,staged,phased}; at the reference's"
+        " full 134M-key stream use bulk,staged (the phased host loop's"
+        " per-round dispatch triple doesn't amortize at that scale)",
+    )
     p.set_defaults(func=cmd_micro)
 
 
@@ -203,6 +210,7 @@ def cmd_micro(args) -> int:
         hit_freq=args.hit_frequency,
         chunk_factor=args.chunk_factor,
         n_keys=args.n_keys,
+        variants=tuple(args.variants.split(",")),
     )
     print(report(results), file=sys.stderr)
     return 0

@@ -18,6 +18,20 @@ no data-dependent control flow:
 Keys are bias-mapped (sign bit flipped) so signed int64 order is
 preserved. `radix_sort_pairs` carries a payload through the permutation;
 `bits` < 64 skips passes for bounded key domains.
+
+STATUS — parity/fallback component, NOT on any production path
+(measured on chip 2026-08-19, scripts/probe_radix.py): the per-pass
+scatter has no hardware path on TPU, so LSD radix loses to
+`xla_sort_pairs` at EVERY size × key-width probed — 6.7x at the most
+favorable point (2^20 keys, 16-bit domain, 2 passes) to 38x at 64-bit
+keys, with no crossover up to 2^24; the engine's own hybrid Pallas sort
+(kernels/bigsort.py) is another ~26x faster than XLA pairs at 2^24 i32.
+Production sorts: `xla_sort_pairs` (this module) for pairs,
+kernels/bigsort.py / kernels/pairsort.py for the hot engine paths.
+Kept because BASELINE.json names radix sort: it is the correct, stable,
+payload-carrying parity implementation and the oracle for the sort
+tests; use it only where a bounded-domain stable multi-pass structure
+is required verbatim.
 """
 
 from __future__ import annotations
