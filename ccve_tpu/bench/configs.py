@@ -50,6 +50,23 @@ def _timed(fn, *args, reps=3):
     return best, out
 
 
+def _best_run(pipe, probe, reps=3, **kw):
+    """Warm up once, then best-of-`reps` pipeline runs. The pipelined
+    executors issue hundreds of per-segment dispatches through the axon
+    relay, whose latency jitter is +-2-4x on a SINGLE run (measured
+    2026-08-19: the same sorted config-2 run read 0.92 s once and
+    0.22 s best-of-3) — best-of-N is the only stable executor timing."""
+    pipe.run(probe, **kw)  # warm-up: compiles land outside the timing
+    r = pipe.run(probe, **kw)
+    best = r
+    for _ in range(reps - 1):
+        r2 = pipe.run(probe, **kw)
+        assert r2["count"] == r["count"], (r2["count"], r["count"])
+        if r2["seconds"] < best["seconds"]:
+            best = r2
+    return best
+
+
 def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merge"):
     """Single equi-join; engine in {sort_merge, hash_lp, hash_csr}."""
     from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
@@ -117,8 +134,7 @@ def config2_filtered_join(
         pipe = JoinPipeline(
             [table], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
         )
-        pipe.run(probe)  # warm-up run: compiles land outside the timing
-        r = pipe.run(probe)
+        r = _best_run(pipe, probe)
         assert r["count"] == expected, (strategy, r["count"], expected)
         out[strategy.value] = {
             "seconds": r["seconds"],
@@ -139,8 +155,7 @@ def config2_filtered_join(
     spipe = SortedPipeline(
         [st], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
     )
-    spipe.run(probe)
-    r = spipe.run(probe)
+    r = _best_run(spipe, probe)
     assert r["count"] == expected, ("sorted", r["count"], expected)
     out["sorted_full"] = {
         "seconds": r["seconds"],
@@ -211,8 +226,7 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
             payload_mode=PayloadMode.REFERENCE,
         )
         pipe = JoinPipeline(tables, cfg)
-        pipe.run(probe)  # warm-up run: compiles land outside the timing
-        r = pipe.run(probe)
+        r = _best_run(pipe, probe)
         assert r["count"] == expected, (strategy, r["count"], expected)
         out[strategy.value] = {
             "seconds": r["seconds"],
@@ -228,8 +242,7 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
             strategy=strategy, payload_mode=PayloadMode.REFERENCE,
         )
         spipe = SortedPipeline(stables, cfg)
-        spipe.run(probe)
-        r = spipe.run(probe)
+        r = _best_run(spipe, probe)
         assert r["count"] == expected, ("sorted", strategy, r["count"])
         out[f"sorted_{strategy.value}"] = {
             "seconds": r["seconds"],
@@ -428,8 +441,7 @@ def config6_mixed_selectivity(
         # the host bandit pays one ~28 ms relay readback per segment —
         # give it coarser segments than the sync-free device tuner
         seg = {"segment_chunks": 4 * segment_chunks} if host_dyn else {}
-        pipe.run(probe, tuner=tuner, **seg)  # warm-up: compiles + warm start
-        r = pipe.run(probe, tuner=tuner, **seg)
+        r = _best_run(pipe, probe, tuner=tuner, **seg)
         assert r["count"] == expected, (strategy, r["count"], expected)
         name = strategy.value + ("_device" if device_tuner else "")
         out[name] = {

@@ -194,9 +194,22 @@ class SortedPipeline(JoinPipeline):
                 )
             if level == L - 1:
                 return self._collect(pstate, emitted)
-            dense = gather_rows(emitted)
-            return self._run_tree(
-                level + 1, dense, emitted.count, pstate, thresholds
+
+            def _descend(ps):
+                dense = gather_rows(emitted)
+                return self._run_tree(
+                    level + 1, dense, emitted.count, ps, thresholds
+                )
+
+            if not cfg.branchy_descend:
+                return _descend(pstate)
+            # branchy skip (same A/B flag as the cursor executor): under
+            # FULL compaction most drain steps are absorbed into the
+            # level cache (emitted.count == 0) — a real branch skips the
+            # ENTIRE deeper static subtree (kernels, compaction, collect)
+            # instead of running it branch-free on an empty chunk
+            return jax.lax.cond(
+                emitted.count > 0, _descend, lambda ps: ps, pstate
             )
 
         F = self._fanout[level]

@@ -105,6 +105,29 @@ def test_sorted_pipeline_three_way_high_multiplicity():
     assert_same_multiset(out["rows"], expected)
 
 
+@pytest.mark.parametrize(
+    "strategy", [CompactionStrategy.NONE, CompactionStrategy.FULL]
+)
+def test_sorted_pipeline_branchy_descend(strategy):
+    """The lax.cond skip of the deeper static subtree on empty emissions
+    (EngineConfig.branchy_descend) must be observationally identical to
+    the branch-free recursion."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=700, rhs=96, chunk_factor=2,
+        strategy=strategy, payload_mode=PayloadMode.FULL,
+    )
+    outs = []
+    for branchy in (False, True):
+        c = dataclasses.replace(cfg, branchy_descend=branchy)
+        pipe = SortedPipeline(tables, c, result_capacity=8192,
+                              use_kernel=False)
+        out = pipe.run(probe)
+        assert out["count"] == expected.shape[0]
+        assert_same_multiset(out["rows"], expected)
+        outs.append(out)
+    assert outs[0]["count"] == outs[1]["count"]
+
+
 def test_sorted_pipeline_count_only():
     cfg, probe, tables, expected = _setup(
         n_joins=2, lhs=500, rhs=64, chunk_factor=1,
