@@ -221,7 +221,7 @@ def _add_baseline(sub):
         "baseline", help="run a BASELINE.json benchmark configuration"
     )
     p.add_argument(
-        "--config", type=int, required=True, choices=[1, 2, 3, 4, 5, 6]
+        "--config", type=int, required=True, choices=[1, 2, 3, 4, 5, 6, 7]
     )
     p.add_argument(
         "--tiny", action="store_true", help="CI-sized workload (CPU-friendly)"
@@ -250,6 +250,7 @@ def cmd_baseline(args) -> int:
         5: dict(n_build=2048, n_probe=20_000),
         6: dict(lhs=65536, rhs=2048, block=256, phase_chunks=32,
                 segment_chunks=4),
+        7: dict(lhs=16384, rhs=512, block=256, segment_chunks=4),
     }
     kwargs = tiny_kwargs[args.config] if args.tiny else {}
     if args.engine is not None:

@@ -103,6 +103,15 @@ class EngineConfig:
     # DYNAMIC-strategy bandit arms (negative_feedback.hpp:172).
     threshold_arms: tuple = DEFAULT_THRESHOLD_ARMS
 
+    # Per-LEVEL static compaction thresholds — a capability the
+    # reference's one-compactor-class-per-binary build cannot express
+    # (setting.h:17-29 fixes ONE strategy for every pipeline level).
+    # When set (len == n_joins), FULL/BINARY use these instead of the
+    # uniform strategy threshold, and a level with threshold 0 skips
+    # the compactor at TRACE time — the heterogeneous optimum the
+    # DYNAMIC tuner searches for, pinned statically.
+    compact_threshold_per_level: tuple | None = None
+
     # DYNAMIC tuner placement: False = host bandit between segment
     # dispatches (the reference's structure, one relay readback per
     # segment); True = the whole bandit runs ON DEVICE inside one
@@ -123,6 +132,21 @@ class EngineConfig:
             raise ValueError("n_joins must be >= 1")
         if self.chunk_factor < 1:
             raise ValueError("chunk_factor must be >= 1")
+        if self.compact_threshold_per_level is not None:
+            t = self.compact_threshold_per_level
+            if len(t) != self.n_joins:
+                raise ValueError(
+                    "compact_threshold_per_level needs one entry per join"
+                    f" level (got {len(t)}, n_joins={self.n_joins})"
+                )
+            if self.strategy in (
+                CompactionStrategy.NONE,
+                CompactionStrategy.DYNAMIC,
+            ):
+                raise ValueError(
+                    "compact_threshold_per_level applies to static"
+                    " compacting strategies (FULL/BINARY) only"
+                )
 
     @property
     def resolved_threshold_arms(self) -> tuple:

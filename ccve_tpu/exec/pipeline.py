@@ -623,6 +623,10 @@ class JoinPipeline:
     def static_thresholds(self) -> np.ndarray:
         if self.config.strategy is CompactionStrategy.DYNAMIC:
             raise ValueError("DYNAMIC thresholds come from the tuner")
+        if self.config.compact_threshold_per_level is not None:
+            return np.asarray(
+                self.config.compact_threshold_per_level, dtype=np.int32
+            )
         return np.full(
             self.n_levels, self.config.compact_threshold, dtype=np.int32
         )

@@ -170,24 +170,58 @@ class SortedPipeline(JoinPipeline):
             sel, cnt = compress_indices(mult > t)
             chunk = Chunk(cols_t, sel, cnt)
 
-            if cfg.strategy is CompactionStrategy.NONE:
-                emitted = chunk
-            else:
+            static_thr = None
+            if cfg.compact_threshold_per_level is not None:
+                static_thr = cfg.compact_threshold_per_level[level]
+
+            def _do_compact(ps):
                 cache = comp.CompactorState(
-                    cache_cols=pstate.cache_cols[level],
-                    cache_count=pstate.cache_count[level],
+                    cache_cols=ps.cache_cols[level],
+                    cache_count=ps.cache_count[level],
                 )
                 emitted, new_cache = comp.compact(
                     cache, chunk, thresholds[level]
                 )
-                pstate = pstate._replace(
-                    cache_cols=pstate.cache_cols.at[level].set(
+                ps = ps._replace(
+                    cache_cols=ps.cache_cols.at[level].set(
                         new_cache.cache_cols
                     ),
-                    cache_count=pstate.cache_count.at[level].set(
+                    cache_count=ps.cache_count.at[level].set(
                         new_cache.cache_count
                     ),
+                    # one compact execution == one work unit at this
+                    # level (its op chain costs about one level-step;
+                    # the device tuner's reward reads these counters)
+                    level_steps=ps.level_steps.at[level].add(1),
                 )
+                return emitted, ps
+
+            if cfg.strategy is CompactionStrategy.NONE or static_thr == 0:
+                # threshold 0 == unconditional pass-through
+                # (compactor.cpp:6 semantics): skip the compactor ops at
+                # TRACE time — per-level static NONE
+                emitted = chunk
+            elif cfg.branchy_descend:
+                # branchy per-chunk compact: compact() computes the
+                # absorb path (append_into + cache copies) even for
+                # pass-through chunks, which makes compaction a fixed
+                # per-step tax — the reason FULL weakly dominated every
+                # threshold (PERF_NOTES "STRUCTURAL FINDING"). A real
+                # branch on compact()'s own pass-through predicate makes
+                # pass-throughs free, restoring the reference's actual
+                # tradeoff (absorb cost vs small-chunk cascade) that the
+                # thresholds — and the DYNAMIC tuner — exist to balance.
+                passthrough = (chunk.count >= thresholds[level]) | (
+                    chunk.count >= block
+                )
+                emitted, pstate = jax.lax.cond(
+                    passthrough,
+                    lambda ps: (chunk, ps),
+                    _do_compact,
+                    pstate,
+                )
+            else:
+                emitted, pstate = _do_compact(pstate)
             if cfg.record_occupancy:
                 pstate = pstate._replace(
                     occupancy=pstate.occupancy.at[level, emitted.count].add(1)
@@ -197,6 +231,14 @@ class SortedPipeline(JoinPipeline):
 
             def _descend(ps):
                 dense = gather_rows(emitted)
+                # work accounting for the device tuner: one entry into
+                # level+1 == one work unit there; rows for occupancy
+                ps = ps._replace(
+                    level_steps=ps.level_steps.at[level + 1].add(1),
+                    level_rows=ps.level_rows.at[level + 1].add(
+                        emitted.count
+                    ),
+                )
                 return self._run_tree(
                     level + 1, dense, emitted.count, ps, thresholds
                 )
@@ -222,23 +264,72 @@ class SortedPipeline(JoinPipeline):
     # and the CLI drive both executors identically)
     # ------------------------------------------------------------------
 
-    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+    def _one_chunk(self, ps, cols, count, thresholds):
+        """Push one input chunk through the static level recursion —
+        overrides the cursor stepper so the inherited batch scan
+        (`_process_chunks`) AND the on-device DYNAMIC tuner
+        (`_process_seg_device_dynamic` / `_run_device_dynamic`) drive
+        this executor unchanged."""
         W, B = self.width, self.block
+        padded = jnp.zeros((W, B), jnp.int64)
+        padded = padded.at[: self.config.n_joins, :].set(cols)
+        extra = None
+        if self.prefilter is not None:
+            extra = self.prefilter(cols[self.prefilter_col])
+        ps = ps._replace(
+            level_steps=ps.level_steps.at[0].add(1),
+            level_rows=ps.level_rows.at[0].add(count),
+        )
+        return self._run_tree(0, padded, count, ps, thresholds, extra)
 
+    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
         def one_chunk(ps, xs):
             cols, count = xs  # [n_joins, block], scalar
-            padded = jnp.zeros((W, B), jnp.int64)
-            padded = padded.at[: self.config.n_joins, :].set(cols)
-            extra = None
-            if self.prefilter is not None:
-                extra = self.prefilter(cols[self.prefilter_col])
-            ps = self._run_tree(0, padded, count, ps, thresholds, extra)
-            return ps, None
+            return self._one_chunk(ps, cols, count, thresholds), None
 
         pstate, _ = jax.lax.scan(
             one_chunk, pstate, (chunk_cols, chunk_counts)
         )
         return pstate
+
+    def _process_seg_device_dynamic(
+        self, pstate, bstate, cols_seg, counts_seg
+    ):
+        """Device-tuner segment for the SORTED executor. The cursor
+        executor's occupancy reward (rows/step at the level) would drive
+        every level to FULL — on this executor compaction has a REAL
+        per-step cost (the compact op chain + cache copies, skipped by
+        the threshold-0 lax.cond), so the reward must be cost-aware:
+        stream efficiency = input rows / (block * total work units),
+        where work units = level entries + compact executions
+        (level_steps, bumped in _run_tree). Shared across levels like
+        the reference's one host timer (main.cpp:164-167) — exploration
+        is simultaneous, and the UCB estimates marginalize over the
+        other levels' mixtures; stays in (0, 1] for the heartbeat
+        double/halve detector."""
+        from ccve_tpu.control import device_bandit as db
+
+        arms_vals = jnp.asarray(
+            self.config.resolved_threshold_arms, jnp.int32
+        )
+        arm, bstate = db.select_arms(bstate)
+        thresholds = jnp.take(arms_vals, arm)
+        steps0 = pstate.level_steps
+        rows_in0 = pstate.level_rows[0]
+
+        def one_chunk(p, x):
+            c, cnt = x
+            return self._one_chunk(p, c, cnt, thresholds), None
+
+        pstate, _ = jax.lax.scan(one_chunk, pstate, (cols_seg, counts_seg))
+        d_work = (
+            (pstate.level_steps - steps0).astype(jnp.float32).sum()
+        )
+        d_rows_in = (pstate.level_rows[0] - rows_in0).astype(jnp.float32)
+        eff = d_rows_in / (jnp.maximum(d_work, 1.0) * self.block)
+        reward = jnp.full((self.n_levels,), eff, jnp.float32)
+        bstate = db.update_arms(bstate, arm, reward)
+        return pstate, bstate
 
     def _flush_all(self, pstate, thresholds):
         """FlushPipelineCache (main.cpp:172-191): level order; refilled

@@ -44,6 +44,21 @@ def test_config5_tiny():
     assert r["scaling_efficiency"] > 0
 
 
+def test_config7_tiny():
+    r = configs.config7_heterogeneous_levels(
+        lhs=8000, rhs=256, block=256, segment_chunks=2
+    )
+    for k in (
+        "no_compaction",
+        "full_compaction",
+        "mixed_static",
+        "dynamic_compaction_device",
+    ):
+        assert r[k]["seconds"] > 0
+    assert r["dynamic_compaction_device"]["greedy_thresholds"]
+    assert r["dynamic_vs_best_static"] > 0
+
+
 def test_config6_tiny(tmp_path):
     r = configs.config6_mixed_selectivity(
         lhs=8000, rhs=256, block=256, phase_chunks=8, mod=4,

@@ -242,6 +242,25 @@ def test_pipeline_branchy_descend(strategy):
     assert_same_multiset(out["rows"], expected)
 
 
+def test_pipeline_per_level_thresholds():
+    """compact_threshold_per_level on the cursor executor: heterogeneous
+    static thresholds per level stay oracle-exact."""
+    import dataclasses
+
+    cfg, probe, tables, expected = _setup(
+        n_joins=3, lhs=500, rhs=64, chunk_factor=2, table_kind="csr",
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, compact_threshold_per_level=(0, cfg.block_size, 32)
+    )
+    pipe = JoinPipeline(tables, cfg, result_capacity=1 << 15)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
 @pytest.mark.parametrize("branchy", [False, True])
 @pytest.mark.parametrize("lanes", [1, 3])
 def test_pipeline_interaction_matrix(branchy, lanes):

@@ -128,6 +128,66 @@ def test_sorted_pipeline_branchy_descend(strategy):
     assert outs[0]["count"] == outs[1]["count"]
 
 
+def test_sorted_pipeline_per_level_thresholds():
+    """compact_threshold_per_level: level thresholds (0, block, 0) —
+    level 1 compacts fully, levels 0/2 pass through at trace time —
+    must still match the oracle multiset exactly."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=3, lhs=500, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, compact_threshold_per_level=(0, BLOCK, 0)
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=1 << 15,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_dynamic_cond_compact():
+    """DYNAMIC + branchy: the lax.cond around the compactor (threshold 0
+    skips it at runtime) must keep the result multiset oracle-exact."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=600, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, branchy_descend=True, threshold_arms=(0, BLOCK)
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=8192,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_device_tuner():
+    """DYNAMIC with the ON-DEVICE bandit on the sorted executor: the
+    inherited _run_device_dynamic drives the overridden _one_chunk and
+    the cost-aware stream-efficiency reward; result stays oracle-exact
+    and greedy thresholds are read back."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=900, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.FULL,
+    )
+    cfg = dataclasses.replace(
+        cfg, device_tuner=True, threshold_arms=(0, BLOCK),
+        tuner_segment_chunks=2,
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=1 << 14,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
+    assert out["greedy_thresholds"].shape == (2,)
+    assert set(out["greedy_thresholds"].tolist()) <= {0, BLOCK}
+
+
 def test_sorted_pipeline_count_only():
     cfg, probe, tables, expected = _setup(
         n_joins=2, lhs=500, rhs=64, chunk_factor=1,
