@@ -291,6 +291,54 @@ def cmd_roofline(args) -> int:
     return 0
 
 
+def _add_dist(sub):
+    p = sub.add_parser(
+        "dist",
+        help="multi-host distributed join (jax.distributed bootstrap): "
+        "one invocation per process; coordinator/process identity from "
+        "flags or CCVE_COORDINATOR / CCVE_NUM_PROCESSES / "
+        "CCVE_PROCESS_ID (omit everything on a TPU pod slice for "
+        "auto-detect, or for a single-process degenerate run)",
+    )
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--n-build", type=int, default=100_000)
+    p.add_argument("--n-probe", type=int, default=1_000_000)
+    p.add_argument("--n-joins", type=int, default=1)
+    p.add_argument("--kind", choices=["sorted", "lp", "csr"],
+                   default="sorted")
+    p.add_argument(
+        "--pipeline-levels", type=int, default=0,
+        help="also run the materializing dist_pipeline_expand over this "
+        "many levels on a probe subset",
+    )
+    p.set_defaults(func=cmd_dist)
+
+
+def cmd_dist(args) -> int:
+    import json
+
+    from ccve_tpu.parallel.bootstrap import init_distributed, run_dist_join
+
+    info = init_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    out = run_dist_join(
+        n_build=args.n_build,
+        n_probe=args.n_probe,
+        n_joins=args.n_joins,
+        kind=args.kind,
+        pipeline_levels=args.pipeline_levels,
+    )
+    out["initialized"] = info["initialized"]
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="ccve_tpu")
     ap.add_argument(
@@ -306,6 +354,7 @@ def main(argv=None) -> int:
     _add_matrix(sub)
     _add_baseline(sub)
     _add_roofline(sub)
+    _add_dist(sub)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax

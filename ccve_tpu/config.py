@@ -123,6 +123,17 @@ class EngineConfig:
     # DYNAMIC strategy needs host-side bandit decisions between segments.
     tuner_segment_chunks: int = 64
 
+    # Device-tuner convergence knobs (control/device_bandit.py). The
+    # reference warm-starts each arm kStartSampling=4 times
+    # (negative_feedback.hpp:37-45); the device tuner's occupancy reward
+    # is far less noisy than the reference's wall-clock reward, so 2
+    # rounds suffice — and once the greedy arm has been stable for
+    # `bandit_commit_after` consecutive segment updates the level
+    # COMMITS (pure exploit; uncommitted again only by the heartbeat
+    # change detector). 0 disables early commit.
+    bandit_start_sampling: int = 2
+    bandit_commit_after: int = 8
+
     def __post_init__(self):
         if self.block_size % 128 != 0:
             raise ValueError(

@@ -99,13 +99,21 @@ class _WorkState(NamedTuple):
 
 
 def init_pipeline_state(
-    n_levels: int, width: int, block: int, capacity: int
+    n_levels: int, width: int, block: int, capacity: int,
+    result_width: int | None = None,
 ) -> PipelineState:
+    """`result_width` < `width` lets an executor carry auxiliary columns
+    (e.g. SortedPipeline's precomputed rank columns) through the chunk
+    stream and compactor caches without materializing them into the
+    result store."""
     return PipelineState(
         cache_cols=jnp.zeros((n_levels, width, block), jnp.int64),
         cache_count=jnp.zeros((n_levels,), jnp.int32),
         result_count=jnp.asarray(0, jnp.int64),
-        result_rows=jnp.zeros((width, capacity), jnp.int64),
+        result_rows=jnp.zeros(
+            (width if result_width is None else result_width, capacity),
+            jnp.int64,
+        ),
         result_stored=jnp.asarray(0, jnp.int64),
         occupancy=jnp.zeros((n_levels, block + 1), jnp.int64),
         level_steps=jnp.zeros((n_levels,), jnp.int32),
@@ -166,6 +174,10 @@ class JoinPipeline:
             # column writes — the work loop is per-step-op-count bound.
             self.width = config.n_joins
             self.capacity = 0
+        # columns [0, result_width) are observable result columns; a
+        # subclass may widen `width` past this with auxiliary columns
+        # that ride the chunk stream but never reach the result store
+        self.result_width = self.width
         if self.lanes == 1:
             self._process = jax.jit(self._process_chunks, donate_argnums=(0,))
             self._flush = jax.jit(self._flush_all, donate_argnums=(0,))
@@ -189,7 +201,8 @@ class JoinPipeline:
 
     def fresh_state(self) -> PipelineState:
         return init_pipeline_state(
-            self.n_levels, self.width, self.block, self.capacity
+            self.n_levels, self.width, self.block, self.capacity,
+            result_width=self.result_width,
         )
 
     def _probe_level(self, level_static: int, keys, count) -> ScanState:
@@ -209,7 +222,9 @@ class JoinPipeline:
         new_count = pstate.result_count + emitted.count.astype(jnp.int64)
         if self.capacity == 0:
             return pstate._replace(result_count=new_count)
-        dense = gather_rows(emitted)  # [W, block], zeros beyond count
+        # auxiliary columns beyond result_width (rank columns) are dead
+        # once the final level has consumed them — strip before storing
+        dense = gather_rows(emitted)[: self.result_width]
         lane = jnp.arange(self.block, dtype=jnp.int64)
         pos = jnp.where(
             lane < emitted.count, pstate.result_stored + lane, self.capacity
@@ -503,7 +518,9 @@ class JoinPipeline:
         arms_vals = jnp.asarray(
             self.config.resolved_threshold_arms, jnp.int32
         )
-        arm, bstate = db.select_arms(bstate)
+        arm, bstate = db.select_arms(
+            bstate, self.config.bandit_start_sampling
+        )
         thresholds = jnp.take(arms_vals, arm)
         steps0 = pstate.level_steps
         rows0 = pstate.level_rows
@@ -516,7 +533,13 @@ class JoinPipeline:
         d_steps = (pstate.level_steps - steps0).astype(jnp.float32)
         d_rows = (pstate.level_rows - rows0).astype(jnp.float32)
         reward = d_rows / (jnp.maximum(d_steps, 1.0) * self.block)
-        bstate = db.update_arms(bstate, arm, reward)
+        bstate = db.update_arms(
+            bstate,
+            arm,
+            reward,
+            self.config.bandit_start_sampling,
+            self.config.bandit_commit_after,
+        )
         return pstate, bstate
 
     def _flush_all(self, pstate, thresholds):
@@ -571,7 +594,10 @@ class JoinPipeline:
                 axis=1,
             )
             pad = np.zeros(
-                (self.width, max(self.capacity - merged_rows.shape[1], 0)),
+                (
+                    self.result_width,
+                    max(self.capacity - merged_rows.shape[1], 0),
+                ),
                 np.int64,
             )
             merged_rows = np.concatenate([merged_rows, pad], axis=1)[
@@ -690,6 +716,10 @@ class JoinPipeline:
             "occupancy": np.asarray(pstate.occupancy),
             "bandit_est": est,
             "bandit_n_sel": np.asarray(bstate.n_sel),
+            # early-commit history: which arm each level committed to
+            # (-1 = never) and at which select round
+            "bandit_committed": np.asarray(bstate.committed),
+            "bandit_commit_t": np.asarray(bstate.commit_t),
             "greedy_thresholds": thresholds,
         }
         self.export_occupancy(out["occupancy"], total_seconds=seconds)
@@ -704,10 +734,20 @@ class JoinPipeline:
         probe_rows: np.ndarray,
         segment_chunks: int | None = None,
         tuner: CompactTuner | None = None,
+        preload: bool = False,
     ) -> dict:
         """Stream a host probe table (int64[n, n_joins]) through the
         pipeline. Returns {'count', 'rows' (if collecting), 'seconds',
-        'chunks'}."""
+        'chunks'}.
+
+        `preload` uploads the whole chunk batch to the device BEFORE the
+        timed window and feeds segments as device-array slices — the
+        same convention as the bulk engine's timings (configs.py
+        device_puts the probe before `_timed`). Default off: the
+        streaming feed (host chunk batches overlapped with compute) is
+        the reference driver's shape (main.cpp:86-95) and the honest
+        end-to-end number through this container's ~40 MB/s H2D tunnel,
+        which otherwise floors every executor at upload bandwidth."""
         cfg = self.config
         block = self.block
         probe_rows = np.ascontiguousarray(probe_rows, dtype=np.int64)
@@ -798,10 +838,21 @@ class JoinPipeline:
             pstate = jax.tree.map(
                 lambda x: jnp.stack([x] * K), pstate
             )
+        all_cols = all_counts = None
+        if preload:
+            if K != 1:
+                raise ValueError("preload supports lanes == 1 only")
+            all_cols = jnp.asarray(make_batch(0, per))
+            all_counts = jnp.asarray(counts_padded)
+            # force the upload to complete outside the timed window
+            np.asarray(jax.device_get(all_cols[-1, -1, -1:]))
         t0 = time.perf_counter()
         for s0 in range(0, per, seg):
             s1 = min(s0 + seg, per)
-            if K == 1:
+            if preload:
+                batch_cols = all_cols[s0:s1]
+                ccounts = all_counts[s0:s1]
+            elif K == 1:
                 batch_cols = jnp.asarray(make_batch(s0, s1))
                 ccounts = jnp.asarray(counts_padded[s0:s1])
             else:
@@ -849,6 +900,7 @@ class JoinPipeline:
             "count": count,
             "seconds": seconds,
             "chunks": n_chunks,
+            "preloaded": preload,
             "occupancy": np.asarray(pstate.occupancy),
         }
         self.export_occupancy(out["occupancy"], total_seconds=seconds)

@@ -9,11 +9,26 @@ TPU-NATIVE executor for the same chunk-at-a-time semantics — exactly the
 relationship sort-merge has to hash-probe on the bulk side:
 
  - each level's build side is a SORTED table (ops/sort_merge.SortedTable);
- - one fused Pallas kernel per (chunk, level) computes every probe row's
-   match count and first-match position in a single sorted-merge pass
-   (kernels/chunk_probe.py) — the whole `Probe` + `while HasNext()` drain
-   of the reference collapses into ONE dispatch plus `max_mult` cheap
-   select/compact emissions;
+ - a probe row's match count and first-match position against a level —
+   its RANK (mult, start) — depend only on the row's key value for that
+   level, never on which chunk the row currently rides in. The reference
+   exploits nothing of the sort (its Probe runs per emitted chunk,
+   chaining_ht.cpp:38-58); here the ranks for ALL levels are computed in
+   one segment-batched sort-merge stats pass per level (rank_mode
+   "batched", ops/sort_merge.sorted_match_ranks — the bulk engine's
+   Pallas plane-sort machinery) and carried as extra int64 RANK COLUMNS
+   (mult << 32 | start) that ride the chunk stream, the compactor caches
+   and the flush cascade like any other column. The per-chunk per-level
+   work left in the executor is the reference's actual chunk-at-a-time
+   control: the drain over match ranks, compaction, and the descend —
+   ~tens of us of glue instead of a per-chunk kernel dispatch;
+ - rank_mode "chunk" keeps the previous engine: one fused Pallas kernel
+   per (chunk, level) merges the chunk against a VMEM-staged table
+   (kernels/chunk_probe.py). It is the fully-streaming formulation
+   (nothing precomputed per segment) but pays a fixed per-chunk kernel
+   cost (~0.3-0.8 ms/chunk measured, PERF_NOTES) and bounds the staged
+   table to VMEM; the batched mode has no table-size bound (streams
+   ride HBM) and is the default;
  - the drain over match ranks t = 0..max_mult-1 REPLAYS the reference's
    emission structure: drain step t emits the rows with more than t
    matches (the rows the reference's t-th `Next` call would emit), so
@@ -51,7 +66,11 @@ from ccve_tpu.kernels.chunk_probe import (
     stage_table_planes,
 )
 from ccve_tpu.ops import compactor as comp
-from ccve_tpu.ops.sort_merge import SortedTable
+from ccve_tpu.ops.sort_merge import (
+    SortedTable,
+    rank_table,
+    sorted_match_ranks,
+)
 
 # kernel operands must stay strictly below I32_MAX - 1 so invalid-lane
 # sentinels never collide with real (clamped) probe operands
@@ -61,7 +80,17 @@ _MAX_VMEM_ENTRIES = 1 << 20
 
 
 class SortedPipeline(JoinPipeline):
-    """Chunk-at-a-time N-way join over per-level SORTED tables."""
+    """Chunk-at-a-time N-way join over per-level SORTED tables.
+
+    rank_mode:
+      - "batched" (default): per-segment rank precompute carried as rank
+        columns (see module docstring) — no per-chunk kernel, no table
+        size bound.
+      - "chunk": per-(chunk, level) fused Pallas merge kernel against a
+        VMEM-staged table (kernels/chunk_probe.py); falls back to
+        chunk_rank_xla per level when the table is unpackable/too big,
+        or everywhere when `use_kernel` is False.
+    """
 
     def __init__(
         self,
@@ -72,22 +101,28 @@ class SortedPipeline(JoinPipeline):
         prefilter_col: int = 0,
         use_kernel: bool | None = None,
         interpret: bool = False,
+        rank_mode: str = "batched",
     ):
         for t in tables:
             if not isinstance(t, SortedTable):
                 raise TypeError("SortedPipeline needs SortedTable levels")
+        if rank_mode not in ("batched", "chunk"):
+            raise ValueError(f"unknown rank_mode {rank_mode!r}")
         if use_kernel is None:
             use_kernel = jax.default_backend() == "tpu"
+        self.rank_mode = rank_mode
+        self.use_kernel = use_kernel
         self.interpret = interpret
         self._fanout = [max(t.max_mult, 1) for t in tables]
-        # per-level kernel eligibility + staged packed planes
+        # per-level kernel eligibility + staged packed planes (chunk mode)
         self._kernel_level = []
         self._tpk = []
         self._pack = []
         block = config.block_size
         for t in tables:
             ok = (
-                use_kernel
+                rank_mode == "chunk"
+                and use_kernel
                 and t.pack32 is not None
                 and t.pack32[1] <= _MAX_KEY_BITS
                 and 1 <= t.keys.shape[0] <= _MAX_VMEM_ENTRIES
@@ -111,8 +146,39 @@ class SortedPipeline(JoinPipeline):
             prefilter_col=prefilter_col,
             lanes=1,
         )
+        if rank_mode == "batched":
+            # rank-index twins (payload = sorted row index) + one int64
+            # rank column per level, appended past the result columns;
+            # they ride the compactor caches / flush like data columns
+            # but are stripped at _collect (result_width)
+            self._rank_tables = [rank_table(t) for t in tables]
+            self._rank_col0 = self.width
+            self.width += self.n_levels
 
     # ------------------------------------------------------------------
+
+    def _seg_ranks(self, chunk_cols: jax.Array) -> jax.Array:
+        """Batched rank precompute for one segment of chunks.
+
+        chunk_cols: int64[S, n_joins, block] → int64[S, n_levels, block]
+        rank columns, rank = mult << 32 | start (start indexes the SORTED
+        table). One `sorted_match_ranks` pass per level over the FLAT
+        S*block key stream — the whole segment's probe work for a level
+        is one sort-merge, amortizing what rank_mode="chunk" pays per
+        chunk. Garbage lanes (beyond a chunk's count / zero padding) get
+        garbage ranks; `_run_tree` masks mult with the live-lane mask."""
+        S, _, B = chunk_cols.shape
+        ranks = []
+        for lvl in range(self.n_levels):
+            flat = chunk_cols[:, lvl, :].reshape(S * B)
+            mult, start = sorted_match_ranks(
+                self._rank_tables[lvl], flat, use_kernel=self.use_kernel
+            )
+            ranks.append(
+                (mult.astype(jnp.int64) << 32)
+                | start.astype(jnp.int64)
+            )
+        return jnp.stack([r.reshape(S, B) for r in ranks], axis=1)
 
     def _level_rank(self, level: int, keys: jax.Array, valid: jax.Array):
         """(mult, start) int32[block] for one chunk at one level."""
@@ -146,7 +212,17 @@ class SortedPipeline(JoinPipeline):
         if valid_extra is not None:
             valid = valid & valid_extra
         keys = cols[level]
-        mult, start = self._level_rank(level, keys, valid)
+        if self.rank_mode == "batched":
+            # ranks precomputed per segment and carried as a column;
+            # garbage lanes carry garbage ranks — mask mult here (start
+            # is only read where mult > drain rank)
+            rank = cols[self._rank_col0 + level]
+            mult = jnp.where(
+                valid, jax.lax.shift_right_logical(rank, 32), 0
+            ).astype(jnp.int32)
+            start = (rank & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        else:
+            mult, start = self._level_rank(level, keys, valid)
 
         ca = cfg.n_joins + 2 * level
         if self.capacity > 0:
@@ -264,15 +340,20 @@ class SortedPipeline(JoinPipeline):
     # and the CLI drive both executors identically)
     # ------------------------------------------------------------------
 
-    def _one_chunk(self, ps, cols, count, thresholds):
+    def _one_chunk(self, ps, cols, count, thresholds, ranks=None):
         """Push one input chunk through the static level recursion —
         overrides the cursor stepper so the inherited batch scan
         (`_process_chunks`) AND the on-device DYNAMIC tuner
         (`_process_seg_device_dynamic` / `_run_device_dynamic`) drive
-        this executor unchanged."""
+        this executor unchanged. `ranks` (int64[n_levels, block],
+        batched mode) lands in the chunk's rank columns."""
         W, B = self.width, self.block
         padded = jnp.zeros((W, B), jnp.int64)
         padded = padded.at[: self.config.n_joins, :].set(cols)
+        if ranks is not None:
+            padded = padded.at[
+                self._rank_col0 : self._rank_col0 + self.n_levels, :
+            ].set(ranks)
         extra = None
         if self.prefilter is not None:
             extra = self.prefilter(cols[self.prefilter_col])
@@ -282,7 +363,22 @@ class SortedPipeline(JoinPipeline):
         )
         return self._run_tree(0, padded, count, ps, thresholds, extra)
 
-    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+    def _scan_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+        """lax.scan over one segment's chunks, with the batched rank
+        precompute (ONE sort-merge pass per level for the whole segment)
+        hoisted ahead of the scan."""
+        if self.rank_mode == "batched":
+            seg_ranks = self._seg_ranks(chunk_cols)
+
+            def one_chunk(ps, xs):
+                cols, count, rk = xs
+                return self._one_chunk(ps, cols, count, thresholds, rk), None
+
+            pstate, _ = jax.lax.scan(
+                one_chunk, pstate, (chunk_cols, chunk_counts, seg_ranks)
+            )
+            return pstate
+
         def one_chunk(ps, xs):
             cols, count = xs  # [n_joins, block], scalar
             return self._one_chunk(ps, cols, count, thresholds), None
@@ -291,6 +387,11 @@ class SortedPipeline(JoinPipeline):
             one_chunk, pstate, (chunk_cols, chunk_counts)
         )
         return pstate
+
+    def _process_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
+        return self._scan_chunks(
+            pstate, chunk_cols, chunk_counts, thresholds
+        )
 
     def _process_seg_device_dynamic(
         self, pstate, bstate, cols_seg, counts_seg
@@ -312,23 +413,27 @@ class SortedPipeline(JoinPipeline):
         arms_vals = jnp.asarray(
             self.config.resolved_threshold_arms, jnp.int32
         )
-        arm, bstate = db.select_arms(bstate)
+        arm, bstate = db.select_arms(
+            bstate, self.config.bandit_start_sampling
+        )
         thresholds = jnp.take(arms_vals, arm)
         steps0 = pstate.level_steps
         rows_in0 = pstate.level_rows[0]
 
-        def one_chunk(p, x):
-            c, cnt = x
-            return self._one_chunk(p, c, cnt, thresholds), None
-
-        pstate, _ = jax.lax.scan(one_chunk, pstate, (cols_seg, counts_seg))
+        pstate = self._scan_chunks(pstate, cols_seg, counts_seg, thresholds)
         d_work = (
             (pstate.level_steps - steps0).astype(jnp.float32).sum()
         )
         d_rows_in = (pstate.level_rows[0] - rows_in0).astype(jnp.float32)
         eff = d_rows_in / (jnp.maximum(d_work, 1.0) * self.block)
         reward = jnp.full((self.n_levels,), eff, jnp.float32)
-        bstate = db.update_arms(bstate, arm, reward)
+        bstate = db.update_arms(
+            bstate,
+            arm,
+            reward,
+            self.config.bandit_start_sampling,
+            self.config.bandit_commit_after,
+        )
         return pstate, bstate
 
     def _flush_all(self, pstate, thresholds):

@@ -377,6 +377,61 @@ def _count_side_bc(p32: jax.Array, b32: jax.Array, m: int) -> jax.Array:
     return bc
 
 
+def rank_table(table: SortedTable) -> SortedTable:
+    """Twin of `table` whose payload is the SORTED ROW INDEX at each key
+    run's FIRST row and 0 elsewhere — the input to `sorted_match_ranks`.
+    A probe key matches exactly one full key run, so the twin's matched-
+    payload sum IS the run's start row: no division, no algebra, just
+    `psum` (start = 0 rows are disambiguated by mult > 0). Shares the
+    key plane with the original table (no extra HBM for keys); pack
+    metadata is recomputed for the index payloads (max m-1) entirely
+    from static shape/pack info — no host readback."""
+    m = int(table.keys.shape[0])
+    idx = jnp.arange(m, dtype=jnp.int64)
+    if m > 0:
+        run_start = jnp.concatenate(
+            [jnp.ones(1, bool), table.keys[1:] != table.keys[:-1]]
+        )
+        pay = jnp.where(run_start, idx, 0)
+    else:
+        pay = idx
+    pack = None
+    if table.pack32 is not None and m > 0:
+        kmin, key_bits = table.pack32
+        pay_bits = max(int(2 * (m - 1) + 1).bit_length(), 2)
+        if key_bits + pay_bits <= 62:
+            pack = (kmin, key_bits, pay_bits)
+    return SortedTable(
+        keys=table.keys,
+        payloads=pay,
+        pack=pack,
+        pack32=table.pack32,
+        pay32=m < 2**31,
+        max_mult=table.max_mult,
+    )
+
+
+def sorted_match_ranks(
+    rtable: SortedTable,
+    probe_keys: jax.Array,
+    use_kernel: bool | None = None,
+    tile_log: int | None = None,
+):
+    """Per-probe-key (mult, start) in original probe order: mult = match
+    count, start = first matching row of the SORTED table (garbage where
+    mult == 0). `rtable` must be a `rank_table(...)` twin (payload ==
+    sorted row index at run starts, 0 elsewhere): a probe's matched rows
+    are exactly one full key run, so the matched-payload sum IS the
+    run-start row — the whole heavily-optimized stats path (Pallas plane
+    sorts, fused merge-scan) is reused verbatim, with no per-chunk table
+    staging and no VMEM table-size bound (streams ride HBM,
+    kernels/pairsort.py), and start falls out with zero extra math."""
+    st = sorted_match_stats(
+        rtable, probe_keys, use_kernel=use_kernel, tile_log=tile_log
+    )
+    return st.mult, st.psum.astype(jnp.int32)
+
+
 def sorted_build_counts(table: SortedTable, probe_keys: jax.Array):
     """Per-build-ROW probe multiplicities bc int32[m]: bc[j] = number of
     probe keys equal to table.keys[j] (table order = sorted order). The

@@ -835,6 +835,7 @@ def dist_pipeline_expand(
     ptables: Sequence[PartitionedTables],
     probe_rows: np.ndarray | jax.Array,
     cap_slack: float = 2.0,
+    level_caps: Sequence[int] | None = None,
 ) -> DistPipelineResult:
     """Distributed MATERIALIZING N-way join — the reference pipeline's
     full output (main.cpp:119-191) across the mesh, not just counts.
@@ -849,10 +850,19 @@ def dist_pipeline_expand(
     multiset equals the single-chip `oracle_pipeline` exactly
     (tests/test_distributed.py, CPU mesh).
 
-    Capacities are static worst cases (each level's expansion buffer =
-    what its shuffle can deliver x the level's max multiplicity), so
-    only send-bucket overflow can invalidate results — reported, as in
-    `dist_bulk_count`."""
+    Capacities default to static worst cases (each level's expansion
+    buffer = what its shuffle can deliver x the level's max
+    multiplicity) — safe but MULTIPLICATIVE: a 4-level fan-out-4 join
+    multiplies per-shard state by ~cap_slack*4 per level regardless of
+    live rows. `level_caps[l]` bounds the PER-SHARD state carried out of
+    level l instead (a cardinality estimate x slack, the usual planner
+    input): after each level's expansion the live rows are re-compacted
+    (one validity sort) into the bounded buffer, and exceeding it is
+    DETECTED overflow, exactly like send-bucket overflow — never a
+    silent drop. The transient expansion buffer inside a level stays
+    worst-case (it must: `sorted_expand`'s output bound is exact), so
+    memory scales with one level's worst case + the bounded carry, not
+    the product over levels."""
     for pt in ptables:
         if pt.kind != "sorted":
             raise ValueError("dist_pipeline_expand needs 'sorted' partitions")
@@ -872,11 +882,17 @@ def dist_pipeline_expand(
     # static per-shard state size per level (S[0] holds the probe shard)
     S = [per_dev]
     caps = []  # per-level send-bucket capacity
+    expand_caps = []  # per-level transient expansion size (exact bound)
     for l, pt in enumerate(ptables):
         c = max(int(S[l] / n_parts * cap_slack) + 8, 16)
         c = min(c, S[l])
         caps.append(c)
-        S.append(n_parts * c * max(int(pt.max_bound), 1))
+        worst = n_parts * c * max(int(pt.max_bound), 1)
+        expand_caps.append(worst)
+        if level_caps is not None and l < len(level_caps):
+            S.append(min(worst, max(int(level_caps[l]), 1)))
+        else:
+            S.append(worst)
 
     probe_sharded = jax.device_put(probe, NamedSharding(mesh, P(AXIS, None)))
     in_specs = (
@@ -935,7 +951,7 @@ def dist_pipeline_expand(
             recv_pays = [route(mp, 0) for mp in mpays]
 
             local = pt.local_table(tuple(a[0] for a in table_leaves[l]))
-            capx = S[l + 1]
+            capx = expand_caps[l]
             ridx, _mk, mpay_l, _tot = sorted_expand(local, recv_k, capx)
             src_idx = jnp.clip(ridx, 0, P_ * cap - 1)
             live = ridx >= 0
@@ -952,6 +968,21 @@ def dist_pipeline_expand(
             ]
             mpays = [expand_cargo(mp, 0) for mp in recv_pays]
             mpays.append(jnp.where(rid >= 0, mpay_l, 0))
+
+            if S[l + 1] < capx:
+                # bounded carry: re-compact live rows (one validity
+                # sort — live first, stable) into the level_caps[l]
+                # buffer; exceeding it is DETECTED overflow
+                live_now = rid >= 0
+                n_live = jnp.sum(live_now.astype(jnp.int32))
+                overflow = jnp.maximum(
+                    overflow,
+                    (n_live > S[l + 1]).astype(jnp.int32),
+                )
+                sel = jnp.argsort(~live_now, stable=True)[: S[l + 1]]
+                rid = jnp.take(rid, sel)
+                kcols = [jnp.take(kc, sel) for kc in kcols]
+                mpays = [jnp.take(mp, sel) for mp in mpays]
 
         count_local = jnp.sum((rid >= 0).astype(jnp.int64))
         total = jax.lax.psum(count_local, AXIS)

@@ -93,11 +93,13 @@ def test_device_bandit_matches_host_math():
     rng = np.random.default_rng(11)
     means = np.array([0.2, 0.9, 0.5, 0.6])
 
+    # reference-parity settings: the reference's warm start
+    # (kStartSampling=4) and no early commit
     host = MultiArmedBandit(n_arms)
     dev = db.init_state(1, n_arms)
     for step in range(120):
         h_arm = host.select_arm()
-        d_arm, dev = db.select_arms(dev)
+        d_arm, dev = db.select_arms(dev, start_sampling=4)
         d_arm = int(d_arm[0])
         assert h_arm == d_arm, (step, h_arm, d_arm)
         reward = float(means[h_arm] + 0.01 * rng.standard_normal())
@@ -105,6 +107,7 @@ def test_device_bandit_matches_host_math():
         dev = db.update_arms(
             dev, jnp.asarray([h_arm], jnp.int32),
             jnp.asarray([reward], jnp.float32),
+            start_sampling=4, commit_after=0,
         )
     np.testing.assert_allclose(
         np.asarray(dev.est)[0], np.asarray(host.est_rewards), rtol=2e-4
@@ -113,3 +116,35 @@ def test_device_bandit_matches_host_math():
     assert int(np.asarray(dev.est)[0].argmax()) == int(
         np.argmax(host.est_rewards)
     ) == 1
+
+
+def test_device_bandit_early_commit():
+    """After warm start, a stable greedy arm commits within
+    commit_after updates; selection then sticks to it, and a change-
+    detection-scale reward shift at the heartbeat uncommits."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccve_tpu.control import device_bandit as db
+
+    n_arms = 3
+    dev = db.init_state(1, n_arms)
+    rewards = {0: 0.2, 1: 0.9, 2: 0.4}
+    commit_round = None
+    for step in range(60):
+        arm, dev = db.select_arms(dev, start_sampling=2)
+        a = int(arm[0])
+        dev = db.update_arms(
+            dev, jnp.asarray([a], jnp.int32),
+            jnp.asarray([rewards[a]], jnp.float32),
+            start_sampling=2, commit_after=4,
+        )
+        if commit_round is None and int(dev.committed[0]) >= 0:
+            commit_round = step
+    assert int(dev.committed[0]) == 1
+    assert commit_round is not None and commit_round < 20
+    assert int(dev.commit_t[0]) >= 0
+    # once committed every select returns the committed arm
+    for _ in range(5):
+        arm, dev = db.select_arms(dev, start_sampling=2)
+        assert int(arm[0]) == 1

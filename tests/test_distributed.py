@@ -290,3 +290,64 @@ def test_dist_pipeline_expand_matches_oracle(payload_mode):
     assert int(res.total) == expected.shape[0]
     rows = res.materialize(probe, mode)
     assert_same_multiset(rows, expected)
+
+
+def test_dist_pipeline_expand_level_caps():
+    """Bounded per-level carry (level_caps): a 4-level multiplicity-4
+    join whose worst-case ladder would multiply state by ~8x/level runs
+    with per-shard state <= 2x the true live rows, stays multiset-exact,
+    and detects (not drops) a cap violation."""
+    from ccve_tpu.config import PayloadMode
+    from ccve_tpu.exec.oracle import (
+        OracleBuildTable,
+        assert_same_multiset,
+        oracle_pipeline,
+    )
+    from ccve_tpu.parallel.distributed import dist_pipeline_expand
+
+    rng = np.random.default_rng(31)
+    n_parts = 4
+    mesh = make_join_mesh(n_parts)
+    n_levels = 4
+    keys, payloads = gen_rhs_table(32, 4)  # multiplicity 4 (F=4)
+    # ~40% per-level hit rate: live rows stay roughly flat across levels
+    probe = rng.integers(0, 80, (400, n_levels)).astype(np.int64)
+
+    oracles = [OracleBuildTable(keys, payloads)] * n_levels
+    expected = oracle_pipeline(probe, oracles, PayloadMode.FULL)
+
+    # true live rows after each level (numpy): product of multiplicities
+    key_mult = np.zeros(81, np.int64)
+    uk, cnt = np.unique(keys, return_counts=True)
+    key_mult[uk] = cnt
+    live = np.ones(probe.shape[0], np.int64)
+    per_level_live = []
+    for l in range(n_levels):
+        live = live * key_mult[probe[:, l]]
+        per_level_live.append(int(live.sum()))
+
+    ptables = [
+        partition_tables(keys, payloads, n_parts, "sorted", mesh)
+        for _ in range(n_levels)
+    ]
+    # per-SHARD cap = 2x the global live rows / n_parts (+ slack for
+    # shard imbalance: ownership is hashed, not balanced)
+    level_caps = [
+        max(2 * lv // n_parts + 64, 64) for lv in per_level_live
+    ]
+    res = dist_pipeline_expand(
+        mesh, ptables, probe, cap_slack=8.0, level_caps=level_caps
+    )
+    assert not bool(res.overflow)
+    assert int(res.total) == expected.shape[0]
+    # the bounded ladder really is bounded: final state = caps[-1]/shard
+    assert res.rid.shape[0] == n_parts * level_caps[-1]
+    rows = res.materialize(probe, PayloadMode.FULL)
+    assert_same_multiset(rows, expected)
+
+    # a violated cap must raise the overflow flag, never silently drop
+    tiny = [max(c // 64, 2) for c in level_caps]
+    res2 = dist_pipeline_expand(
+        mesh, ptables, probe, cap_slack=8.0, level_caps=tiny
+    )
+    assert bool(res2.overflow)

@@ -317,3 +317,37 @@ def test_pipeline_device_tuner_matches_oracle():
     assert out["bandit_n_sel"].sum() > 0
     # step counters recorded work at both levels
     assert out["greedy_thresholds"].shape == (2,)
+
+
+def test_pipeline_preload_matches_streamed():
+    """preload=True (device-resident chunk batch, bulk-engine timing
+    convention) must be observationally identical to the streamed feed."""
+    import numpy as np
+
+    from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.pipeline import JoinPipeline
+    from ccve_tpu.exec.sorted_pipeline import SortedPipeline
+    from ccve_tpu.ops.hash_table import build_csr
+    from ccve_tpu.ops.sort_merge import build_sorted
+
+    cfg = EngineConfig(
+        block_size=128, n_joins=2, lhs_size=700, rhs_size=96,
+        chunk_factor=2, strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.FULL, collect_tuples=True,
+    )
+    probe = gen_probe_table(700, 2, 96)
+    keys, payloads = gen_rhs_table(96, 2)
+    for pipe in (
+        JoinPipeline([build_csr(keys, payloads)] * 2, cfg,
+                     result_capacity=8192),
+        SortedPipeline([build_sorted(keys, payloads)] * 2, cfg,
+                       result_capacity=8192, use_kernel=False),
+    ):
+        streamed = pipe.run(probe)
+        pre = pipe.run(probe, preload=True)
+        assert pre["preloaded"] and not streamed["preloaded"]
+        assert pre["count"] == streamed["count"]
+        a = np.asarray(sorted(map(tuple, pre["rows"])))
+        b = np.asarray(sorted(map(tuple, streamed["rows"])))
+        assert np.array_equal(a, b)

@@ -363,3 +363,26 @@ def test_sorted_stats_pallas_negative_key_range(kmin):
         got = sorted_match_stats(st, probe, use_kernel=True, tile_log=11)
     np.testing.assert_array_equal(np.asarray(got.mult), np.asarray(ref.mult))
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+
+
+def test_sorted_match_ranks():
+    """(mult, start) recovered from the rank-index twin's payload sums
+    vs searchsorted ground truth, duplicates + missing keys included."""
+    import numpy as np
+
+    from ccve_tpu.ops.sort_merge import rank_table, sorted_match_ranks
+
+    rng = np.random.default_rng(11)
+    for m, dom, n in [(100, 60, 500), (64, 64, 64), (1000, 5, 333)]:
+        keys = rng.integers(0, dom, m).astype(np.int64)
+        st = build_sorted(keys, np.arange(m, dtype=np.int64))
+        rt = rank_table(st)
+        probe = rng.integers(-3, dom + 3, n).astype(np.int64)
+        mult, start = sorted_match_ranks(rt, jnp.asarray(probe))
+        mult, start = np.asarray(mult), np.asarray(start)
+        sk = np.sort(keys)
+        e_start = np.searchsorted(sk, probe, side="left")
+        e_mult = np.searchsorted(sk, probe, side="right") - e_start
+        assert np.array_equal(mult, e_mult), (m, dom, n)
+        live = e_mult > 0
+        assert np.array_equal(start[live], e_start[live]), (m, dom, n)

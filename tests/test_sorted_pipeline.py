@@ -238,7 +238,8 @@ def test_sorted_pipeline_kernel_interpret(strategy):
     )
     assert all(t.pack32 is not None for t in tables)
     pipe = SortedPipeline(tables, cfg, result_capacity=8192,
-                          use_kernel=True, interpret=True)
+                          use_kernel=True, interpret=True,
+                          rank_mode="chunk")
     assert all(pipe._kernel_level)
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
@@ -279,3 +280,56 @@ def test_chunk_rank_kernel_interpret():
         assert np.array_equal(mult, e_mult), (m, dom, count)
         live = e_mult > 0
         assert np.array_equal(start[live], e_start[live]), (m, dom, count)
+
+
+@pytest.mark.parametrize("rank_mode", ["batched", "chunk"])
+def test_sorted_pipeline_rank_modes_agree(rank_mode):
+    """Both rank engines — segment-batched rank columns and the
+    per-chunk probe (xla fallback here) — produce the oracle multiset
+    on a duplicate-heavy 3-way join with FULL compaction."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=3, lhs=300, rhs=48, chunk_factor=3,
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.FULL,
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=1 << 17,
+                          use_kernel=False, rank_mode=rank_mode)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert not out["overflowed"]
+    assert_same_multiset(out["rows"], expected)
+
+
+def test_sorted_pipeline_batched_wide_keys():
+    """Batched rank mode with keys far outside the i32 pack range —
+    the stats path falls back to the int64 XLA merge, the executor
+    must stay oracle-exact (the table-size/key-span bounds that gated
+    the per-chunk kernel do NOT gate the batched mode)."""
+    cfg = EngineConfig(
+        block_size=BLOCK, n_joins=2, lhs_size=400, rhs_size=64,
+        strategy=CompactionStrategy.FULL, payload_mode=PayloadMode.FULL,
+        collect_tuples=True,
+    )
+    rng = np.random.default_rng(3)
+    shift = np.int64(1) << 40
+    keys = np.sort(rng.integers(0, 1 << 45, 64).astype(np.int64))
+    payloads = np.arange(64, dtype=np.int64) + 7
+    probe = np.stack(
+        [
+            np.concatenate([keys[rng.integers(0, 64, 200)],
+                            rng.integers(0, shift, 200)]),
+            np.concatenate([keys[rng.integers(0, 64, 200)],
+                            rng.integers(0, shift, 200)]),
+        ],
+        axis=1,
+    )
+    rng.shuffle(probe, axis=0)
+    tables = [build_sorted(keys, payloads) for _ in range(2)]
+    assert tables[0].pack32 is None  # key span really is unpackable
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * 2, PayloadMode.FULL
+    )
+    pipe = SortedPipeline(tables, cfg, result_capacity=1 << 15,
+                          use_kernel=False)
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    assert_same_multiset(out["rows"], expected)
