@@ -67,6 +67,25 @@ def _best_run(pipe, probe, reps=3, **kw):
     return best
 
 
+def _executor_entry(pipe, probe, lhs, reps=3, preloaded=True, **kw):
+    """Streamed (reference-driver feed, main.cpp:86-95) AND preloaded
+    (device-resident batch — the bulk engine's timing convention, which
+    device_puts the probe before `_timed`) numbers for one executor.
+    Through this container's ~40 MB/s H2D tunnel the streamed number is
+    feed-bound, so only the preloaded one compares against bulk."""
+    r = _best_run(pipe, probe, reps=reps, **kw)
+    out = {
+        "seconds": r["seconds"],
+        "rows_per_s": lhs / r["seconds"],
+    }
+    if preloaded:
+        rp = _best_run(pipe, probe, reps=reps, preload=True, **kw)
+        assert rp["count"] == r["count"], (rp["count"], r["count"])
+        out["preloaded_seconds"] = rp["seconds"]
+        out["preloaded_rows_per_s"] = lhs / rp["seconds"]
+    return r, out
+
+
 def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merge"):
     """Single equi-join; engine in {sort_merge, hash_lp, hash_csr}."""
     from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
@@ -155,12 +174,9 @@ def config2_filtered_join(
     spipe = SortedPipeline(
         [st], cfg, prefilter=flt.mod_eq(selectivity_mod, 0)
     )
-    r = _best_run(spipe, probe)
+    r, entry = _executor_entry(spipe, probe, lhs)
     assert r["count"] == expected, ("sorted", r["count"], expected)
-    out["sorted_full"] = {
-        "seconds": r["seconds"],
-        "rows_per_s": lhs / r["seconds"],
-    }
+    out["sorted_full"] = entry
     return out
 
 
@@ -242,12 +258,9 @@ def config3_four_way(lhs=1_000_000, rhs=50_000, block=2048, table_kind="csr"):
             strategy=strategy, payload_mode=PayloadMode.REFERENCE,
         )
         spipe = SortedPipeline(stables, cfg)
-        r = _best_run(spipe, probe)
+        r, entry = _executor_entry(spipe, probe, lhs)
         assert r["count"] == expected, ("sorted", strategy, r["count"])
-        out[f"sorted_{strategy.value}"] = {
-            "seconds": r["seconds"],
-            "rows_per_s": lhs / r["seconds"],
-        }
+        out[f"sorted_{strategy.value}"] = entry
     return out
 
 

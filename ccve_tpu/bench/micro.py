@@ -89,11 +89,36 @@ def _time(fn, warmup=1, reps=3):
     return best, out
 
 
-def run_bulk_variant(table, keys_dev, name: str) -> VariantResult:
+def run_bulk_variant(
+    table, keys_dev, name: str, tile_rows: int | None = None
+) -> VariantResult:
+    """`tile_rows`: process the stream in fixed tiles inside ONE jitted
+    dispatch (lax.map). The LP drain's halving-ladder survivor structure
+    is scale-invariant (scripts/probe_lp_drain_model.py: identical live
+    fractions and <=5-step drains at 4M and 134M), yet whole-stream 134M
+    regressed 294.6 -> 405.7 ns/key in round 2 — a memory-regime effect
+    (the ladder materializes GB-scale compaction buffers at 134M).
+    Tiling keeps every gather/scatter at the measured-good working-set
+    size; counts are additive over tiles."""
+    n = keys_dev.shape[0]
+    if tile_rows and n > tile_rows and n % tile_rows == 0:
+        grid = keys_dev.reshape(n // tile_rows, tile_rows)
+        fn = jax.jit(
+            lambda g: jax.lax.map(
+                lambda k: match_stats(table, k)
+                .mult.astype(jnp.int64)
+                .sum(),
+                g,
+            ).sum()
+        )
+        secs, total = _time(lambda: fn(grid))
+        return VariantResult(
+            name=name, seconds=secs, n_keys=n, tuples=int(total)
+        )
     fn = jax.jit(lambda k: match_stats(table, k).mult.astype(jnp.int64).sum())
     secs, total = _time(lambda: fn(keys_dev))
     return VariantResult(
-        name=name, seconds=secs, n_keys=keys_dev.shape[0], tuples=int(total)
+        name=name, seconds=secs, n_keys=n, tuples=int(total)
     )
 
 
@@ -275,8 +300,12 @@ def run_micro_bench(
 
     results = []
     if "bulk" in variants:
+        # LP tiles above 2^24 keys (see run_bulk_variant docstring);
+        # CSR held 84.1 ns/key whole-stream at 134M — left untiled
+        lp_tile = (1 << 22) if n_keys > (1 << 24) else None
         results += [
-            run_bulk_variant(lp, keys_dev, "bulk_fused_lp"),
+            run_bulk_variant(lp, keys_dev, "bulk_fused_lp",
+                             tile_rows=lp_tile),
             run_bulk_variant(csr, keys_dev, "bulk_fused_csr"),
         ]
     if "staged" in variants:

@@ -57,6 +57,13 @@ def _add_pipeline(sub):
         "kEnableProfiling=0, profiler.h:170)",
     )
     p.add_argument("--segment-chunks", type=int, default=64)
+    p.add_argument(
+        "--preload",
+        action="store_true",
+        help="upload the whole chunk batch before the timed window "
+        "(the bulk engine's timing convention) instead of streaming "
+        "host chunk batches per segment",
+    )
     p.set_defaults(func=cmd_pipeline)
 
 
@@ -189,7 +196,11 @@ def cmd_pipeline(args) -> int:
             from ccve_tpu.exec.pipeline import JoinPipeline
 
             pipe = JoinPipeline(tables, cfg)
-        out = pipe.run(probe, segment_chunks=args.segment_chunks)
+        out = pipe.run(
+            probe,
+            segment_chunks=args.segment_chunks,
+            preload=getattr(args, "preload", False),
+        )
         count, elapsed = out["count"], out["seconds"]
 
     print(f" [Total Time] {elapsed:.4f} s", file=sys.stderr)

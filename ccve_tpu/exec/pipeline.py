@@ -646,6 +646,34 @@ class JoinPipeline:
                 cell[0] += per_step * int(hist[occ])
                 cell[1] += int(hist[occ])
 
+    def export_occupancy_segments(
+        self, segments: list[tuple[float, np.ndarray]]
+    ) -> None:
+        """MEASURED Zebra attribution (run(zebra_profile=True)): each
+        (seg_seconds, occ_delta) pair is one independent timing; the
+        segment's time is split over ITS OWN recorded steps, so a
+        per-occupancy mean aggregates as many real measurements as
+        there are segments that touched that occupancy — the
+        reference's per-call Zebra semantics (profiler.h:178-237) at
+        segment granularity."""
+        from ccve_tpu.utils.profiler import ZebraProfiler
+
+        zebra = ZebraProfiler.get()
+        if not zebra.enabled:
+            return
+        for seg_seconds, delta in segments:
+            steps = int(delta.sum())
+            if steps == 0:
+                continue
+            per_step = seg_seconds / steps
+            for level in range(self.n_levels):
+                name = f"level{level}_{self.config.strategy.value}"
+                hist = delta[level]
+                for occ in np.nonzero(hist)[0]:
+                    cell = zebra._hists[name][int(occ)]
+                    cell[0] += per_step * int(hist[occ])
+                    cell[1] += int(hist[occ])
+
     def static_thresholds(self) -> np.ndarray:
         if self.config.strategy is CompactionStrategy.DYNAMIC:
             raise ValueError("DYNAMIC thresholds come from the tuner")
@@ -735,6 +763,7 @@ class JoinPipeline:
         segment_chunks: int | None = None,
         tuner: CompactTuner | None = None,
         preload: bool = False,
+        zebra_profile: bool = False,
     ) -> dict:
         """Stream a host probe table (int64[n, n_joins]) through the
         pipeline. Returns {'count', 'rows' (if collecting), 'seconds',
@@ -747,7 +776,20 @@ class JoinPipeline:
         streaming feed (host chunk batches overlapped with compute) is
         the reference driver's shape (main.cpp:86-95) and the honest
         end-to-end number through this container's ~40 MB/s H2D tunnel,
-        which otherwise floors every executor at upload bandwidth."""
+        which otherwise floors every executor at upload bandwidth.
+
+        `zebra_profile` gives the Zebra occupancy histograms MEASURED
+        latency: each segment dispatch is synced and timed, and its
+        wall time is attributed to that segment's occupancy deltas — so
+        per-occupancy means come from as many independent timings as
+        there are segments, not one uniform run-total apportionment
+        (the reference's ZebraProfiler measures per call,
+        profiler.h:178-237; per-STEP device time is not observable
+        through the relay, so a segment is the attribution quantum).
+        Requires config.record_occupancy; the per-segment syncs make
+        this a PROFILING mode, not a timing mode — exactly like the
+        reference, whose Zebra is compiled out of timed builds
+        (profiler.h:170)."""
         cfg = self.config
         block = self.block
         probe_rows = np.ascontiguousarray(probe_rows, dtype=np.int64)
@@ -826,6 +868,18 @@ class JoinPipeline:
         counts_padded = np.zeros(per * K, np.int32)
         counts_padded[:n_chunks] = counts
 
+        if zebra_profile:
+            if not cfg.record_occupancy:
+                raise ValueError(
+                    "zebra_profile needs config.record_occupancy=True"
+                )
+            if K != 1:
+                raise ValueError("zebra_profile supports lanes == 1 only")
+        zebra_segs: list[tuple[float, np.ndarray]] = []
+        prev_occ = np.zeros(
+            (self.n_levels, self.block + 1), np.int64
+        )
+
         if dynamic and cfg.device_tuner:
             if K != 1:
                 raise ValueError("device_tuner requires lanes == 1")
@@ -873,6 +927,13 @@ class JoinPipeline:
             pstate = self._process(
                 pstate, batch_cols, ccounts, jnp.asarray(thresholds)
             )
+            if zebra_profile:
+                # the occupancy readback IS the segment sync
+                occ = np.asarray(jax.device_get(pstate.occupancy))
+                zebra_segs.append(
+                    (time.perf_counter() - seg_t0, occ - prev_occ)
+                )
+                prev_occ = occ
             if dynamic:
                 # scalar readback: the only sync that actually waits
                 # through the axon relay (block_until_ready returns
@@ -888,7 +949,15 @@ class JoinPipeline:
                 explore_level = (explore_level + 1) % self.n_levels
                 thresholds = pick_thresholds()
         if cfg.strategy is not CompactionStrategy.NONE:
+            flush_t0 = time.perf_counter()
             pstate = self._flush(pstate, jnp.asarray(thresholds))
+            if zebra_profile:
+                # the flush cascade is its own attribution segment
+                occ = np.asarray(jax.device_get(pstate.occupancy))
+                zebra_segs.append(
+                    (time.perf_counter() - flush_t0, occ - prev_occ)
+                )
+                prev_occ = occ
         # honest end-of-run sync: one scalar readback (block_until_ready
         # returns early through the axon relay — PERF_NOTES.md)
         count = int(np.asarray(jax.device_get(pstate.result_count)).sum())
@@ -903,7 +972,11 @@ class JoinPipeline:
             "preloaded": preload,
             "occupancy": np.asarray(pstate.occupancy),
         }
-        self.export_occupancy(out["occupancy"], total_seconds=seconds)
+        if zebra_profile:
+            out["zebra_segments"] = len(zebra_segs)
+            self.export_occupancy_segments(zebra_segs)
+        else:
+            self.export_occupancy(out["occupancy"], total_seconds=seconds)
         if cfg.collect_tuples:
             stored = int(pstate.result_stored)
             out["rows"] = np.asarray(pstate.result_rows[:, :stored]).T

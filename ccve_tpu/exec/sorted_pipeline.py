@@ -168,17 +168,29 @@ class SortedPipeline(JoinPipeline):
         chunk. Garbage lanes (beyond a chunk's count / zero padding) get
         garbage ranks; `_run_tree` masks mult with the live-lane mask."""
         S, _, B = chunk_cols.shape
-        ranks = []
+        # levels sharing one table object (common: the same dimension
+        # table joined at every level, configs 3/7) share ONE stats pass
+        # over their concatenated key streams — the sort ladder's fixed
+        # costs amortize across the group
+        groups: dict[int, list[int]] = {}
         for lvl in range(self.n_levels):
-            flat = chunk_cols[:, lvl, :].reshape(S * B)
+            groups.setdefault(id(self.tables[lvl]), []).append(lvl)
+        out: list = [None] * self.n_levels
+        per = S * B
+        for lvls in groups.values():
+            flat = chunk_cols[:, lvls, :].transpose(1, 0, 2).reshape(
+                len(lvls) * per
+            )
             mult, start = sorted_match_ranks(
-                self._rank_tables[lvl], flat, use_kernel=self.use_kernel
+                self._rank_tables[lvls[0]], flat,
+                use_kernel=self.use_kernel,
             )
-            ranks.append(
-                (mult.astype(jnp.int64) << 32)
-                | start.astype(jnp.int64)
+            rank = (mult.astype(jnp.int64) << 32) | start.astype(
+                jnp.int64
             )
-        return jnp.stack([r.reshape(S, B) for r in ranks], axis=1)
+            for i, lvl in enumerate(lvls):
+                out[lvl] = rank[i * per : (i + 1) * per].reshape(S, B)
+        return jnp.stack(out, axis=1)
 
     def _level_rank(self, level: int, keys: jax.Array, valid: jax.Array):
         """(mult, start) int32[block] for one chunk at one level."""
@@ -265,11 +277,14 @@ class SortedPipeline(JoinPipeline):
                     cache_count=ps.cache_count.at[level].set(
                         new_cache.cache_count
                     ),
+                )
+                if cfg.strategy is CompactionStrategy.DYNAMIC:
                     # one compact execution == one work unit at this
                     # level (its op chain costs about one level-step;
                     # the device tuner's reward reads these counters)
-                    level_steps=ps.level_steps.at[level].add(1),
-                )
+                    ps = ps._replace(
+                        level_steps=ps.level_steps.at[level].add(1)
+                    )
                 return emitted, ps
 
             if cfg.strategy is CompactionStrategy.NONE or static_thr == 0:
@@ -307,14 +322,15 @@ class SortedPipeline(JoinPipeline):
 
             def _descend(ps):
                 dense = gather_rows(emitted)
-                # work accounting for the device tuner: one entry into
-                # level+1 == one work unit there; rows for occupancy
-                ps = ps._replace(
-                    level_steps=ps.level_steps.at[level + 1].add(1),
-                    level_rows=ps.level_rows.at[level + 1].add(
-                        emitted.count
-                    ),
-                )
+                if cfg.strategy is CompactionStrategy.DYNAMIC:
+                    # work accounting for the device tuner: one entry
+                    # into level+1 == one work unit there
+                    ps = ps._replace(
+                        level_steps=ps.level_steps.at[level + 1].add(1),
+                        level_rows=ps.level_rows.at[level + 1].add(
+                            emitted.count
+                        ),
+                    )
                 return self._run_tree(
                     level + 1, dense, emitted.count, ps, thresholds
                 )
@@ -357,10 +373,13 @@ class SortedPipeline(JoinPipeline):
         extra = None
         if self.prefilter is not None:
             extra = self.prefilter(cols[self.prefilter_col])
-        ps = ps._replace(
-            level_steps=ps.level_steps.at[0].add(1),
-            level_rows=ps.level_rows.at[0].add(count),
-        )
+        if self.config.strategy is CompactionStrategy.DYNAMIC:
+            # work counters feed the device tuner's reward only — static
+            # strategies skip them (the scan body is op-latency-bound)
+            ps = ps._replace(
+                level_steps=ps.level_steps.at[0].add(1),
+                level_rows=ps.level_rows.at[0].add(count),
+            )
         return self._run_tree(0, padded, count, ps, thresholds, extra)
 
     def _scan_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):

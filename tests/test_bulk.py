@@ -73,3 +73,22 @@ def test_lp_match_stats_compacted_lanes():
     b = lp_match_stats(table, probe, compact_lanes=False)
     np.testing.assert_array_equal(np.asarray(a.mult), np.asarray(b.mult))
     np.testing.assert_array_equal(np.asarray(a.psum), np.asarray(b.psum))
+
+
+def test_bulk_variant_tiled_matches_whole():
+    """run_bulk_variant(tile_rows=...): tiled LP drain == whole-stream
+    counts (counts are additive over tiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccve_tpu.bench.micro import run_bulk_variant
+    from ccve_tpu.core.datagen import gen_microbench_keys, gen_rhs_table
+    from ccve_tpu.ops.hash_table import build_lp
+
+    keys = gen_microbench_keys(1 << 12, 128, 1)
+    bk, bp = gen_rhs_table(128, 1)
+    lp = build_lp(bk, bp)
+    kd = jax.device_put(jnp.asarray(keys))
+    whole = run_bulk_variant(lp, kd, "w")
+    tiled = run_bulk_variant(lp, kd, "t", tile_rows=1 << 10)
+    assert whole.tuples == tiled.tuples

@@ -351,3 +351,45 @@ def test_pipeline_preload_matches_streamed():
         a = np.asarray(sorted(map(tuple, pre["rows"])))
         b = np.asarray(sorted(map(tuple, streamed["rows"])))
         assert np.array_equal(a, b)
+
+
+def test_pipeline_zebra_profile_segments():
+    """zebra_profile: per-SEGMENT measured attribution — each segment's
+    wall time lands on its own occupancy deltas (>= several independent
+    timings), totals match the plain occupancy histogram, and the count
+    stays exact."""
+    import numpy as np
+
+    from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.pipeline import JoinPipeline
+    from ccve_tpu.ops.hash_table import build_csr
+    from ccve_tpu.utils.profiler import ZebraProfiler
+
+    cfg = EngineConfig(
+        block_size=128, n_joins=2, lhs_size=2000, rhs_size=96,
+        chunk_factor=2, strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE, collect_tuples=False,
+        record_occupancy=True, tuner_segment_chunks=2,
+    )
+    probe = gen_probe_table(2000, 2, 96)
+    keys, payloads = gen_rhs_table(96, 2)
+    pipe = JoinPipeline([build_csr(keys, payloads)] * 2, cfg)
+
+    zebra = ZebraProfiler.get()
+    zebra.clear()
+    out = pipe.run(probe, zebra_profile=True)
+    assert out["zebra_segments"] >= 8  # independent timings
+    # every recorded step got attributed once, with nonzero time
+    total_calls = 0
+    total_time = 0.0
+    for level in range(2):
+        hist = zebra.histogram(f"level{level}_full_compaction")
+        total_calls += sum(c for _, c in hist.values())
+        total_time += sum(t for t, _ in hist.values())
+    assert total_calls == int(out["occupancy"].sum())
+    assert total_time > 0
+    # sanity vs a plain run: same result
+    plain = pipe.run(probe)
+    assert plain["count"] == out["count"]
+    zebra.clear()
