@@ -466,6 +466,8 @@ def config6_mixed_selectivity(
             out["bandit_log"] = log_dir
         if device_tuner:
             out[name]["greedy_thresholds"] = r["greedy_thresholds"].tolist()
+            out[name]["bandit_committed"] = r["bandit_committed"].tolist()
+            out[name]["bandit_commit_round"] = r["bandit_commit_t"].tolist()
     best_static = min(
         out["no_compaction"]["seconds"], out["full_compaction"]["seconds"]
     )

@@ -109,8 +109,25 @@ def gather_rows(chunk: Chunk) -> jax.Array:
     return jnp.where(valid_mask(chunk)[None, :], dense, jnp.int64(0))
 
 
+def compact_rows(
+    cols: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Fused stream compaction to a DENSE layout: one masked scatter
+    (out[:, rank(j)] = cols[:, j] for mask[j]) instead of
+    compress_indices + a later gather through the selection vector —
+    halves the one-hot matmul count of a drain step. Returns
+    (dense_cols, count); storage beyond count is zero."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(SEL_DTYPE)) - 1
+    count = jnp.sum(mask.astype(SEL_DTYPE)).astype(SEL_DTYPE)
+    scatter_pos = jnp.where(mask, pos, n)
+    dense = mxu_move.put_cols(jnp.zeros_like(cols), scatter_pos, cols)
+    return dense, count
+
+
 def append_into(
-    dst_cols: jax.Array, dst_count: jax.Array, src: Chunk, limit=None
+    dst_cols: jax.Array, dst_count: jax.Array, src: Chunk, limit=None,
+    src_dense: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """DataChunk::Append generalized with overflow split (base.cpp:15-27 +
     the compactor's two-destination append, compactor.cpp:22-24).
@@ -129,8 +146,11 @@ def append_into(
     idx = iota_sel(block)
     live = idx < n
 
-    # Dense gather of the live source rows (through sel).
-    dense = mxu_move.take_cols(src.cols, src.sel)  # [n_cols, block]
+    # Dense gather of the live source rows (through sel); a src known
+    # dense (identity sel — the sorted executor's internal form) skips
+    # the gather matmul: dead-lane values are dropped by the scatter
+    # positions below.
+    dense = src.cols if src_dense else mxu_move.take_cols(src.cols, src.sel)
 
     target = idx + dst_count  # would-be destination rows
     in_main = live & (target < block)

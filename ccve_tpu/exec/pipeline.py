@@ -224,7 +224,15 @@ class JoinPipeline:
             return pstate._replace(result_count=new_count)
         # auxiliary columns beyond result_width (rank columns) are dead
         # once the final level has consumed them — strip before storing
-        dense = gather_rows(emitted)[: self.result_width]
+        if getattr(self, "_dense_chunks", False):
+            # identity-sel chunks: mask stale storage, skip the gather
+            from ccve_tpu.core.chunk import valid_mask
+
+            dense = jnp.where(
+                valid_mask(emitted)[None, :], emitted.cols, jnp.int64(0)
+            )[: self.result_width]
+        else:
+            dense = gather_rows(emitted)[: self.result_width]
         lane = jnp.arange(self.block, dtype=jnp.int64)
         pos = jnp.where(
             lane < emitted.count, pstate.result_stored + lane, self.capacity

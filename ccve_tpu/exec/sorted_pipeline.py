@@ -57,7 +57,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ccve_tpu.config import CompactionStrategy, PayloadMode
-from ccve_tpu.core.chunk import Chunk, compress_indices, gather_rows
+from ccve_tpu.core.chunk import Chunk, compact_rows, iota_sel
 from ccve_tpu.exec.pipeline import JoinPipeline
 from ccve_tpu.kernels.chunk_probe import (
     I32_MAX,
@@ -146,6 +146,9 @@ class SortedPipeline(JoinPipeline):
             prefilter_col=prefilter_col,
             lanes=1,
         )
+        # every chunk this executor emits/caches/flushes has identity
+        # sel (core/chunk.compact_rows) — _collect skips its gather
+        self._dense_chunks = True
         if rank_mode == "batched":
             # rank-index twins (payload = sorted row index) + one int64
             # rank column per level, appended past the result columns;
@@ -236,6 +239,25 @@ class SortedPipeline(JoinPipeline):
         else:
             mult, start = self._level_rank(level, keys, valid)
 
+        if (
+            level == L - 1
+            and self.capacity == 0
+            and cfg.strategy is not CompactionStrategy.DYNAMIC
+            and not cfg.record_occupancy
+        ):
+            # FINAL-LEVEL COUNT COLLAPSE (trace-time): the collector only
+            # reads emitted counts, and sum_t |{mult > t}| == sum(mult),
+            # so the whole drain is ONE reduction. Final-level compaction
+            # is count-invariant over stream+flush (everything absorbed
+            # is re-emitted), so skipping it cannot change the result —
+            # excluded under DYNAMIC (compact executions feed the
+            # tuner's work counters) and under record_occupancy (the
+            # Zebra histogram would lose its final-level rows).
+            total = jnp.sum(mult.astype(jnp.int64))
+            return pstate._replace(
+                result_count=pstate.result_count + total
+            )
+
         ca = cfg.n_joins + 2 * level
         if self.capacity > 0:
             if cfg.payload_mode is PayloadMode.REFERENCE:
@@ -255,8 +277,15 @@ class SortedPipeline(JoinPipeline):
                 cols_t = cols.at[ca + 1].set(pay)
             else:
                 cols_t = cols
-            sel, cnt = compress_indices(mult > t)
-            chunk = Chunk(cols_t, sel, cnt)
+            # dense-chunk drain: ONE masked MXU scatter compacts the
+            # emission to identity-sel layout (core/chunk.compact_rows)
+            # — the sel-composition + later gather pair it replaces cost
+            # 2-3x the one-hot matmuls per step; every chunk flowing
+            # through this executor (emissions, caches, flushes) is
+            # dense by construction, so compact/descend/collect all skip
+            # their gathers (_dense_chunks)
+            dense_t, cnt = compact_rows(cols_t, mult > t)
+            chunk = Chunk(dense_t, iota_sel(block), cnt)
 
             static_thr = None
             if cfg.compact_threshold_per_level is not None:
@@ -268,7 +297,7 @@ class SortedPipeline(JoinPipeline):
                     cache_count=ps.cache_count[level],
                 )
                 emitted, new_cache = comp.compact(
-                    cache, chunk, thresholds[level]
+                    cache, chunk, thresholds[level], chunk_dense=True
                 )
                 ps = ps._replace(
                     cache_cols=ps.cache_cols.at[level].set(
@@ -321,7 +350,7 @@ class SortedPipeline(JoinPipeline):
                 return self._collect(pstate, emitted)
 
             def _descend(ps):
-                dense = gather_rows(emitted)
+                dense = emitted.cols  # all drain chunks are dense
                 if cfg.strategy is CompactionStrategy.DYNAMIC:
                     # work accounting for the device tuner: one entry
                     # into level+1 == one work unit there

@@ -56,11 +56,14 @@ def init_state(n_cols: int, block_size: int) -> CompactorState:
 
 
 def compact(
-    state: CompactorState, chunk: Chunk, threshold
+    state: CompactorState, chunk: Chunk, threshold,
+    chunk_dense: bool = False,
 ) -> tuple[Chunk, CompactorState]:
     """One Compact step. `threshold` is a traced int scalar: chunks with
     count >= threshold pass through; smaller ones are absorbed into the
-    cache, which is emitted whenever it fills.
+    cache, which is emitted whenever it fills. `chunk_dense` asserts the
+    input's sel is the identity (the sorted executor's internal form) —
+    the absorb skips its gather matmul.
 
     Returns (emitted_chunk, new_state). The emitted chunk is the input
     chunk itself on pass-through, a dense full cache on overflow, or an
@@ -73,7 +76,7 @@ def compact(
 
     # --- absorb path (computed unconditionally; selected at the end) -----
     new_cache, new_count, overflow, over_count = append_into(
-        state.cache_cols, state.cache_count, chunk
+        state.cache_cols, state.cache_count, chunk, src_dense=chunk_dense
     )
     emits_cache = new_count >= block  # cache filled exactly or split occurred
     # When the cache fills, emit it and keep the overflow as the new cache.

@@ -80,3 +80,27 @@ def test_gather_rows_masks_dead_lanes():
     dense = np.asarray(C.gather_rows(ch))
     np.testing.assert_array_equal(dense[:, 0], [9, 90])
     assert (dense[:, 1:] == 0).all()
+
+
+def test_compact_rows_matches_compress_gather():
+    """compact_rows (fused masked scatter) == compress_indices followed
+    by a dense gather, including the zero tail."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccve_tpu.core.chunk import compact_rows, compress_indices
+
+    rng = np.random.default_rng(5)
+    for block, ncols in [(128, 3), (256, 1)]:
+        cols = jnp.asarray(
+            rng.integers(-(2**40), 2**40, (ncols, block)).astype(np.int64)
+        )
+        mask = jnp.asarray(rng.random(block) < 0.3)
+        dense, cnt = compact_rows(cols, mask)
+        sel, cnt2 = compress_indices(mask)
+        assert int(cnt) == int(cnt2)
+        k = int(cnt)
+        expect = np.asarray(cols)[:, np.asarray(sel)[:k]]
+        got = np.asarray(dense)
+        assert np.array_equal(got[:, :k], expect)
+        assert (got[:, k:] == 0).all()

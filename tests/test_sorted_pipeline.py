@@ -333,3 +333,26 @@ def test_sorted_pipeline_batched_wide_keys():
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
     assert_same_multiset(out["rows"], expected)
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [CompactionStrategy.NONE, CompactionStrategy.FULL,
+     CompactionStrategy.BINARY],
+)
+def test_sorted_pipeline_count_collapse(strategy):
+    """The final-level count collapse (count-only static runs fold the
+    whole drain + compaction into one sum(mult) reduction) must equal
+    the collecting run's count on a duplicate-heavy multi-level join."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=900, rhs=64, chunk_factor=3,
+        strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+    )
+    collecting = SortedPipeline(tables, cfg, result_capacity=1 << 15,
+                                use_kernel=False)
+    r1 = collecting.run(probe)
+    assert r1["count"] == expected.shape[0]
+    cfg2 = dataclasses.replace(cfg, collect_tuples=False)
+    counting = SortedPipeline(tables, cfg2, use_kernel=False)
+    r2 = counting.run(probe)
+    assert r2["count"] == expected.shape[0]
