@@ -443,6 +443,20 @@ def config6_mixed_selectivity(
             block_size=block, n_joins=n_joins, lhs_size=lhs, rhs_size=rhs,
             strategy=strategy, payload_mode=PayloadMode.REFERENCE,
             tuner_segment_chunks=segment_chunks, device_tuner=device_tuner,
+            # 4 coarse block-fraction arms instead of the reference's
+            # 9-rung ladder: with a COMMITTING bandit the arm count IS
+            # the exploration budget, and this executor's occupancy
+            # reward separates 0 / b/2 / 3b/4 / b far better than
+            # adjacent rungs (round-3 measurement: 9 arms committed to
+            # 512 at round ~45, regret 1.19x; the ladder's neighbors
+            # are within noise of each other). The reference's list is
+            # still the default elsewhere (resolved_threshold_arms).
+            threshold_arms=(0, block // 2, 3 * block // 4, block),
+            # with the causally-shifted reward (exec/pipeline.py
+            # _process_seg_device_dynamic) the greedy arm separates
+            # within a couple of updates — 6 stable rounds is ample
+            # evidence (measured: commit lands on the dominant arm)
+            bandit_commit_after=6,
         )
         pipe = JoinPipeline(
             tables, cfg, prefilter=flt.mod_eq(mod, 0)

@@ -540,7 +540,16 @@ class JoinPipeline:
         pstate, _ = jax.lax.scan(one_chunk, pstate, (cols_seg, counts_seg))
         d_steps = (pstate.level_steps - steps0).astype(jnp.float32)
         d_rows = (pstate.level_rows - rows0).astype(jnp.float32)
-        reward = d_rows / (jnp.maximum(d_steps, 1.0) * self.block)
+        eff = d_rows / (jnp.maximum(d_steps, 1.0) * self.block)
+        # CAUSAL credit shift (round 3): level l's threshold acts on the
+        # chunks level l EMITS — its own occupancy/steps are fixed by
+        # the incoming stream, so rewarding arm[l] with eff[l] is pure
+        # noise (measured: the level-0 bandit committed to arbitrary
+        # arms). Arm[l] is rewarded with level l+1's occupancy, where
+        # its compaction decision actually lands; the last level's arm
+        # has no downstream (collector only) and keeps its own eff —
+        # genuinely don't-care on this executor, any commit is free.
+        reward = jnp.concatenate([eff[1:], eff[-1:]])
         bstate = db.update_arms(
             bstate,
             arm,
