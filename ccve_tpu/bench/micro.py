@@ -302,7 +302,7 @@ def run_micro_bench(
     if "bulk" in variants:
         # LP tiles above 2^24 keys (see run_bulk_variant docstring);
         # CSR held 84.1 ns/key whole-stream at 134M — left untiled
-        lp_tile = (1 << 22) if n_keys > (1 << 24) else None
+        lp_tile = (1 << 21) if n_keys > (1 << 24) else None
         results += [
             run_bulk_variant(lp, keys_dev, "bulk_fused_lp",
                              tile_rows=lp_tile),
