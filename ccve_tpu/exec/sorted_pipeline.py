@@ -242,17 +242,19 @@ class SortedPipeline(JoinPipeline):
         if (
             level == L - 1
             and self.capacity == 0
-            and cfg.strategy is not CompactionStrategy.DYNAMIC
             and not cfg.record_occupancy
         ):
             # FINAL-LEVEL COUNT COLLAPSE (trace-time): the collector only
             # reads emitted counts, and sum_t |{mult > t}| == sum(mult),
             # so the whole drain is ONE reduction. Final-level compaction
             # is count-invariant over stream+flush (everything absorbed
-            # is re-emitted), so skipping it cannot change the result —
-            # excluded under DYNAMIC (compact executions feed the
-            # tuner's work counters) and under record_occupancy (the
-            # Zebra histogram would lose its final-level rows).
+            # is re-emitted), so skipping it cannot change the result.
+            # Applies under DYNAMIC too — the final level's arm then
+            # controls nothing (true on this executor anyway: compaction
+            # before a counting collector is dead work), which keeps
+            # DYNAMIC's cost surface identical to the statics'; excluded
+            # only under record_occupancy (the Zebra histogram would
+            # lose its final-level rows).
             total = jnp.sum(mult.astype(jnp.int64))
             return pstate._replace(
                 result_count=pstate.result_count + total
