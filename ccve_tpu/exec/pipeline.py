@@ -900,6 +900,11 @@ class JoinPipeline:
         if dynamic and cfg.device_tuner:
             if K != 1:
                 raise ValueError("device_tuner requires lanes == 1")
+            if zebra_profile:
+                raise ValueError(
+                    "zebra_profile is not supported on the device-tuner "
+                    "path (its segments are not synced per dispatch)"
+                )
             return self._run_device_dynamic(make_batch, counts, n_chunks)
 
         pstate = self.fresh_state()
