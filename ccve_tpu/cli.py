@@ -64,6 +64,15 @@ def _add_pipeline(sub):
         "(the bulk engine's timing convention) instead of streaming "
         "host chunk batches per segment",
     )
+    p.add_argument(
+        "--zebra-profile",
+        action="store_true",
+        help="MEASURED Zebra latency: sync + time each segment and "
+        "attribute its wall time to its own occupancy deltas, then "
+        "export CSVs to ./zebra_log_0x<rand>/ (the reference's "
+        "ZebraProfiler output, profiler.h:216-237); implies "
+        "--record-occupancy and is a profiling mode, not a timing mode",
+    )
     p.set_defaults(func=cmd_pipeline)
 
 
@@ -145,7 +154,8 @@ def cmd_pipeline(args) -> int:
             PayloadMode.REFERENCE if args.payload == "reference" else PayloadMode.FULL
         ),
         collect_tuples=args.collect_tuples,
-        record_occupancy=getattr(args, "record_occupancy", False),
+        record_occupancy=getattr(args, "record_occupancy", False)
+        or getattr(args, "zebra_profile", False),
         tuner_segment_chunks=args.segment_chunks,
     )
     print(
@@ -196,12 +206,26 @@ def cmd_pipeline(args) -> int:
             from ccve_tpu.exec.pipeline import JoinPipeline
 
             pipe = JoinPipeline(tables, cfg)
+        zebra_profile = getattr(args, "zebra_profile", False)
         out = pipe.run(
             probe,
             segment_chunks=args.segment_chunks,
             preload=getattr(args, "preload", False),
+            zebra_profile=zebra_profile,
         )
         count, elapsed = out["count"], out["seconds"]
+        if zebra_profile:
+            import random
+
+            from ccve_tpu.utils.profiler import ZebraProfiler
+
+            log_dir = f"./zebra_log_0x{random.getrandbits(32):08x}"
+            ZebraProfiler.get().to_csv(log_dir)
+            print(
+                f" [Zebra] {out['zebra_segments']} measured segments "
+                f"-> {log_dir}/",
+                file=sys.stderr,
+            )
 
     print(f" [Total Time] {elapsed:.4f} s", file=sys.stderr)
     print(
@@ -325,6 +349,15 @@ def _add_dist(sub):
         help="also run the materializing dist_pipeline_expand over this "
         "many levels on a probe subset",
     )
+    p.add_argument(
+        "--shuffle",
+        choices=["auto", "flat", "hier"],
+        default="auto",
+        help="radix-shuffle topology: 'hier' = 2D (process, local) mesh "
+        "with the 3-hop shuffle (keys cross the process boundary once, "
+        "host-aggregated); 'auto' picks hier for multi-process launches "
+        "with >1 local device",
+    )
     p.set_defaults(func=cmd_dist)
 
 
@@ -344,6 +377,9 @@ def cmd_dist(args) -> int:
         n_joins=args.n_joins,
         kind=args.kind,
         pipeline_levels=args.pipeline_levels,
+        hierarchical={"auto": None, "flat": False, "hier": True}[
+            args.shuffle
+        ],
     )
     out["initialized"] = info["initialized"]
     print(json.dumps(out))

@@ -84,6 +84,7 @@ def run_dist_join(
     kind: str = "sorted",
     pipeline_levels: int = 0,
     cross_check: bool | None = None,
+    hierarchical: bool | None = None,
 ) -> dict:
     """The distributed-join harness over the GLOBAL device mesh
     (config-5 geometry by default): deterministic tables + probe
@@ -93,7 +94,15 @@ def run_dist_join(
 
     `cross_check` (default: only when single-process) re-counts on one
     device and asserts equality — cross-process runs skip it because a
-    single-device count would need all shards on one host."""
+    single-device count would need all shards on one host.
+
+    `hierarchical` (default: auto — on when the launch really is
+    multi-process with >1 local device per process) uses the 2D
+    (dcn, ici) mesh whose LEADING axis is the process boundary — the
+    genuine cross-host link — and the 3-hop shuffle
+    (`dist_bulk_count_hier`): every key crosses the slow axis exactly
+    once inside a host-aggregated grid, fine-grained owner routing
+    stays on the fast intra-process axis."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,25 +110,36 @@ def run_dist_join(
     from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
     from ccve_tpu.parallel.distributed import (
         dist_bulk_count,
+        dist_bulk_count_hier,
         make_join_mesh,
+        make_join_mesh_2d,
         partition_tables,
     )
 
     n_devices = len(jax.devices())
+    n_local = len(jax.local_devices())
+    n_procs = jax.process_count()
     if cross_check is None:
-        cross_check = jax.process_count() == 1
+        cross_check = n_procs == 1
+    if hierarchical is None:
+        hierarchical = n_procs > 1 and n_local > 1
 
     keys, payloads = gen_rhs_table(n_build, 1)
     probe = gen_probe_table(n_probe, n_joins, n_build)
 
-    mesh = make_join_mesh(n_devices)
+    if hierarchical:
+        mesh = make_join_mesh_2d(n_procs, n_devices // n_procs)
+        counter = dist_bulk_count_hier
+    else:
+        mesh = make_join_mesh(n_devices)
+        counter = dist_bulk_count
     ptables = [
         partition_tables(keys, payloads, n_devices, kind, mesh)
         for _ in range(n_joins)
     ]
 
     t0 = time.perf_counter()
-    res = dist_bulk_count(mesh, ptables, probe)
+    res = counter(mesh, ptables, probe)
     count = int(res.count)  # the readback is the sync
     seconds = time.perf_counter() - t0
 
@@ -127,6 +147,7 @@ def run_dist_join(
         "process_id": jax.process_index(),
         "num_processes": jax.process_count(),
         "n_devices": n_devices,
+        "hierarchical": bool(hierarchical),
         "n_build": n_build,
         "n_probe": n_probe,
         "n_joins": n_joins,
@@ -155,8 +176,10 @@ def run_dist_join(
     if pipeline_levels > 0:
         from ccve_tpu.parallel.distributed import dist_pipeline_expand
 
+        # the materializing pipeline shuffles on the flat 1D mesh
+        pmesh = make_join_mesh(n_devices) if hierarchical else mesh
         levels = [
-            partition_tables(keys, payloads, n_devices, "sorted", mesh)
+            partition_tables(keys, payloads, n_devices, "sorted", pmesh)
             for _ in range(pipeline_levels)
         ]
         sub = probe[: min(n_probe, 8192), :pipeline_levels]
@@ -166,7 +189,7 @@ def run_dist_join(
                 + [sub[:, :1]] * (pipeline_levels - sub.shape[1]),
                 axis=1,
             )
-        pres = dist_pipeline_expand(mesh, levels, sub)
+        pres = dist_pipeline_expand(pmesh, levels, sub)
         out["pipeline_rows"] = int(pres.total)
         out["pipeline_overflow"] = bool(pres.overflow)
     return out

@@ -50,14 +50,19 @@ def _result(proc, timeout=600):
     return json.loads(out.strip().splitlines()[-1])
 
 
-def test_dist_two_process_launch_matches_single():
+@pytest.mark.parametrize("shuffle", ["hier", "flat"])
+def test_dist_two_process_launch_matches_single(shuffle):
     """2 processes x 2 devices vs one 4-device single-process run (which
     itself cross-checks against the single-device bulk count): identical
-    join counts and pipeline row totals."""
+    join counts and pipeline row totals. 'hier' routes the radix shuffle
+    over the 2D (process, local) mesh — the key hop crosses the REAL
+    process boundary once, host-aggregated (dist_bulk_count_hier);
+    'flat' is the 1D all_to_all."""
     # single-process degenerate run (no coordinator): 4 local devices
     single = _result(_run(COMMON, n_local_devices=4))
     assert single["initialized"] is False
     assert single["cross_checked"] is True
+    assert single["hierarchical"] is False
 
     coord = f"localhost:{_free_port()}"
     pair = [
@@ -67,6 +72,7 @@ def test_dist_two_process_launch_matches_single():
                 "--coordinator", coord,
                 "--num-processes", "2",
                 "--process-id", str(pid),
+                "--shuffle", shuffle,
             ],
             n_local_devices=2,
         )
@@ -77,6 +83,7 @@ def test_dist_two_process_launch_matches_single():
         assert r["initialized"] is True
         assert r["num_processes"] == 2
         assert r["n_devices"] == 4
+        assert r["hierarchical"] is (shuffle == "hier")
         assert r["overflow"] is False
         assert r["count"] == single["count"]
         assert r["pipeline_rows"] == single["pipeline_rows"]
