@@ -350,6 +350,14 @@ def _add_dist(sub):
         "many levels on a probe subset",
     )
     p.add_argument(
+        "--zipf-alpha",
+        type=float,
+        default=None,
+        help="Zipf-skewed probe keys with this exponent + PRPD: the "
+        "detected Zipf head is replicated to every shard and masked "
+        "out of the radix shuffle (flat shuffle only)",
+    )
+    p.add_argument(
         "--shuffle",
         choices=["auto", "flat", "hier"],
         default="auto",
@@ -379,7 +387,10 @@ def cmd_dist(args) -> int:
         pipeline_levels=args.pipeline_levels,
         hierarchical={"auto": None, "flat": False, "hier": True}[
             args.shuffle
-        ],
+        ]
+        if args.zipf_alpha is None
+        else False,
+        zipf_alpha=args.zipf_alpha,
     )
     out["initialized"] = info["initialized"]
     print(json.dumps(out))

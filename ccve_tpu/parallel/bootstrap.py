@@ -85,6 +85,7 @@ def run_dist_join(
     pipeline_levels: int = 0,
     cross_check: bool | None = None,
     hierarchical: bool | None = None,
+    zipf_alpha: float | None = None,
 ) -> dict:
     """The distributed-join harness over the GLOBAL device mesh
     (config-5 geometry by default): deterministic tables + probe
@@ -125,18 +126,52 @@ def run_dist_join(
         hierarchical = n_procs > 1 and n_local > 1
 
     keys, payloads = gen_rhs_table(n_build, 1)
-    probe = gen_probe_table(n_probe, n_joins, n_build)
+    if zipf_alpha is not None:
+        # skewed workload: Zipf-distributed probe keys + PRPD — detect
+        # the Zipf head on a probe sample, replicate those build rows to
+        # every shard, shuffle only the cold tail (the head neither
+        # loads one partition nor counts toward send capacity)
+        from ccve_tpu.core.datagen import gen_zipf_keys
+        from ccve_tpu.parallel.distributed import (
+            detect_heavy_hitters,
+            partition_tables_split,
+        )
+
+        probe = np.stack(
+            [
+                gen_zipf_keys(n_probe, n_build, zipf_alpha, seed=11 + j)
+                for j in range(n_joins)
+            ],
+            axis=1,
+        ).astype(np.int64)
+        hot = detect_heavy_hitters(probe[: min(n_probe, 262_144)])
+    else:
+        probe = gen_probe_table(n_probe, n_joins, n_build)
+        hot = None
 
     if hierarchical:
+        if zipf_alpha is not None:
+            raise ValueError(
+                "PRPD (zipf) runs on the flat shuffle; pass "
+                "hierarchical=False / --shuffle flat"
+            )
         mesh = make_join_mesh_2d(n_procs, n_devices // n_procs)
         counter = dist_bulk_count_hier
     else:
         mesh = make_join_mesh(n_devices)
         counter = dist_bulk_count
-    ptables = [
-        partition_tables(keys, payloads, n_devices, kind, mesh)
-        for _ in range(n_joins)
-    ]
+    if hot is not None and hot.size:
+        ptables = [
+            partition_tables_split(
+                keys, payloads, n_devices, hot, kind, mesh
+            )
+            for _ in range(n_joins)
+        ]
+    else:
+        ptables = [
+            partition_tables(keys, payloads, n_devices, kind, mesh)
+            for _ in range(n_joins)
+        ]
 
     t0 = time.perf_counter()
     res = counter(mesh, ptables, probe)

@@ -130,3 +130,24 @@ def test_init_distributed_env_plumbing(monkeypatch):
     assert info == {
         "initialized": True, "process_id": 3, "num_processes": 4
     }
+
+
+def test_dist_zipf_prpd_single_process():
+    """`cli dist --zipf-alpha`: the skewed-workload path (Zipf probe +
+    heavy-hitter replication masked out of the shuffle) through the
+    bootstrap harness, cross-checked against the single-device count."""
+    r = _result(
+        _run(
+            [
+                "--n-build", "2000", "--n-probe", "40000",
+                "--n-joins", "1", "--zipf-alpha", "1.2",
+            ],
+            n_local_devices=4,
+        )
+    )
+    assert r["cross_checked"] is True
+    assert r["overflow"] is False
+    assert r["hierarchical"] is False
+    assert r["count"] > 0
+    # PRPD keeps the cold shuffle balanced despite the Zipf head
+    assert r["skew"] < 2.5
