@@ -151,3 +151,19 @@ def test_dist_zipf_prpd_single_process():
     assert r["count"] > 0
     # PRPD keeps the cold shuffle balanced despite the Zipf head
     assert r["skew"] < 2.5
+
+
+@pytest.mark.parametrize("kind", ["lp", "csr"])
+def test_dist_table_kinds_single_process(kind):
+    """The bootstrap harness over the hash-table partition kinds (the
+    sorted kind is covered by every other test here)."""
+    r = _result(
+        _run(
+            ["--n-build", "1500", "--n-probe", "20000", "--n-joins", "1",
+             "--kind", kind],
+            n_local_devices=4,
+        )
+    )
+    assert r["cross_checked"] is True
+    assert r["overflow"] is False
+    assert r["count"] > 0
