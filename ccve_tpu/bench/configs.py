@@ -563,15 +563,18 @@ def config7_heterogeneous_levels(
     pipes = {n: SortedPipeline(tables, c) for n, c in cases.items()}
     expected = None
     best = {}
+    # preloaded feeds (round 3): the streamed 64 MB probe floored every
+    # variant near the tunnel bandwidth, flattening the policy spread
+    # the config exists to measure
     for name, pipe in pipes.items():  # warm-up: compiles + count check
-        r = pipe.run(probe)
+        r = pipe.run(probe, preload=True)
         if expected is None:
             expected = r["count"]
         assert r["count"] == expected, (name, r["count"], expected)
         best[name] = r
     for _ in range(rounds):  # interleaved: drift hits all cases alike
         for name, pipe in pipes.items():
-            r = pipe.run(probe)
+            r = pipe.run(probe, preload=True)
             assert r["count"] == expected, (name, r["count"], expected)
             if r["seconds"] < best[name]["seconds"]:
                 best[name] = r

@@ -702,7 +702,9 @@ class JoinPipeline:
             self.n_levels, self.config.compact_threshold, dtype=np.int32
         )
 
-    def _run_device_dynamic(self, make_batch, counts, n_chunks) -> dict:
+    def _run_device_dynamic(
+        self, make_batch, counts, n_chunks, preload: bool = False
+    ) -> dict:
         """DYNAMIC with the on-device tuner: one dispatch PER SEGMENT,
         zero per-segment host syncs — the bandit state rides the device
         between dispatches (the host-bandit path pays one ~28 ms relay
@@ -718,32 +720,54 @@ class JoinPipeline:
         seg = cfg.tuner_segment_chunks
         n_seg = -(-n_chunks // seg)
         total = n_seg * seg
+        counts_full = np.zeros(total, np.int32)
+        counts_full[:n_chunks] = counts
+        all_cols = all_counts = None
+        if preload:
+            # device-resident batch before the timed window (same
+            # convention as the static path's preload)
+            host = make_batch(0, n_chunks)
+            if host.shape[0] < total:
+                host = np.concatenate(
+                    [
+                        host,
+                        np.zeros(
+                            (total - host.shape[0],) + host.shape[1:],
+                            np.int64,
+                        ),
+                    ]
+                )
+            all_cols = jnp.asarray(host)
+            all_counts = jnp.asarray(counts_full)
+            np.asarray(jax.device_get(all_cols[-1, -1, -1:]))
         t0 = time.perf_counter()
 
         pstate = self.fresh_state()
         bstate = db.init_state(
             self.n_levels, len(cfg.resolved_threshold_arms)
         )
-        counts_full = np.zeros(total, np.int32)
-        counts_full[:n_chunks] = counts
         for s in range(n_seg):
             s0 = s * seg
-            cols_seg = make_batch(s0, min(s0 + seg, n_chunks))
-            if cols_seg.shape[0] < seg:  # zero-pad the tail segment
-                cols_seg = np.concatenate(
-                    [
-                        cols_seg,
-                        np.zeros(
-                            (seg - cols_seg.shape[0],) + cols_seg.shape[1:],
-                            np.int64,
-                        ),
-                    ]
-                )
+            if preload:
+                cols_dev = all_cols[s0 : s0 + seg]
+                counts_dev = all_counts[s0 : s0 + seg]
+            else:
+                cols_seg = make_batch(s0, min(s0 + seg, n_chunks))
+                if cols_seg.shape[0] < seg:  # zero-pad the tail segment
+                    cols_seg = np.concatenate(
+                        [
+                            cols_seg,
+                            np.zeros(
+                                (seg - cols_seg.shape[0],)
+                                + cols_seg.shape[1:],
+                                np.int64,
+                            ),
+                        ]
+                    )
+                cols_dev = jnp.asarray(cols_seg)
+                counts_dev = jnp.asarray(counts_full[s0 : s0 + seg])
             pstate, bstate = self._process_dyn_seg(
-                pstate,
-                bstate,
-                jnp.asarray(cols_seg),
-                jnp.asarray(counts_full[s0 : s0 + seg]),
+                pstate, bstate, cols_dev, counts_dev
             )
 
         # ONE readback (end of stream): greedy thresholds for the flush
@@ -905,7 +929,9 @@ class JoinPipeline:
                     "zebra_profile is not supported on the device-tuner "
                     "path (its segments are not synced per dispatch)"
                 )
-            return self._run_device_dynamic(make_batch, counts, n_chunks)
+            return self._run_device_dynamic(
+                make_batch, counts, n_chunks, preload=preload
+            )
 
         pstate = self.fresh_state()
         if K > 1:
