@@ -355,12 +355,26 @@ def config5_distributed(n_build=100_000, n_probe=1_000_000, n_devices=None):
     tp, res = _timed(lambda p: dist_bulk_count(mesh, ptables, p), probe)
     assert int(res.count) == int(ref.count)
     eff = (n_probe / tp) / (n_devices * (n_probe / t1))
+    # model prediction (bench/dist_model.py): the honest stand-in for a
+    # real multi-chip number — the measured `scaling_efficiency` above
+    # divides CPU-mesh (or 1-chip) collectives by a single-device run
+    # and is a STRUCTURAL signal only (all virtual devices share one
+    # socket's bandwidth)
+    from ccve_tpu.bench.dist_model import predict
+
+    pred = predict(
+        n_build, n_probe, topologies=((1, max(n_devices, 1)),)
+    )[0]
     return {
         "name": "config5_distributed",
         "n_devices": n_devices,
         "rows_per_s": n_probe / tp,
         "single_device_rows_per_s": n_probe / t1,
         "scaling_efficiency": eff,
+        "scaling_efficiency_note": "structural (shared-socket mesh)",
+        "model_predicted_efficiency": pred.efficiency,
+        "model_predicted_rows_per_s": pred.rows_per_s,
+        "model_shuffle": pred.shuffle,
         "skew": float(res.skew),
         "overflow": bool(res.overflow),
     }
@@ -559,7 +573,15 @@ def config7_heterogeneous_levels(
             base, strategy=CompactionStrategy.DYNAMIC, device_tuner=True
         ),
     }
-    out = {"name": "config7_heterogeneous_levels", "hit_rates": hit_rates}
+    out = {
+        "name": "config7_heterogeneous_levels",
+        "hit_rates": hit_rates,
+        # self-describing artifact: every variant below is timed with
+        # device-resident feeds (NOT the reference driver's streamed
+        # convention, main.cpp:86-95) because the container's ~40 MB/s
+        # H2D tunnel floors all streamed variants alike
+        "timing_convention": "preloaded",
+    }
     pipes = {n: SortedPipeline(tables, c) for n, c in cases.items()}
     expected = None
     best = {}

@@ -50,6 +50,7 @@ class VariantResult:
     tuples: int
     phase_seconds: dict | None = None
     phase_profiler: object = None
+    tile_rows: int | None = None  # None = whole-stream dispatch
 
     @property
     def ns_per_key(self) -> float:
@@ -101,8 +102,18 @@ def run_bulk_variant(
     Tiling keeps every gather/scatter at the measured-good working-set
     size; counts are additive over tiles."""
     n = keys_dev.shape[0]
-    if tile_rows and n > tile_rows and n % tile_rows == 0:
-        grid = keys_dev.reshape(n // tile_rows, tile_rows)
+    if tile_rows and n > tile_rows:
+        # Pad the tail tile so non-divisible streams still tile: counts
+        # are additive and the pad key (-1) is outside every generated
+        # table domain (all table keys are >= 0), so it contributes 0
+        # tuples. The result records tile_rows so artifacts are
+        # unambiguous about which regime was measured.
+        pad = (-n) % tile_rows
+        if pad:
+            keys_dev = jnp.concatenate(
+                [keys_dev, jnp.full((pad,), -1, keys_dev.dtype)]
+            )
+        grid = keys_dev.reshape(-1, tile_rows)
         fn = jax.jit(
             lambda g: jax.lax.map(
                 lambda k: match_stats(table, k)
@@ -113,7 +124,11 @@ def run_bulk_variant(
         )
         secs, total = _time(lambda: fn(grid))
         return VariantResult(
-            name=name, seconds=secs, n_keys=n, tuples=int(total)
+            name=name,
+            seconds=secs,
+            n_keys=n,
+            tuples=int(total),
+            tile_rows=tile_rows,
         )
     fn = jax.jit(lambda k: match_stats(table, k).mult.astype(jnp.int64).sum())
     secs, total = _time(lambda: fn(keys_dev))

@@ -313,6 +313,18 @@ def _add_roofline(sub):
         "(a non-engine Pallas CE stage + XLA's own batched sort) and "
         "print them against the model constant",
     )
+    p.add_argument(
+        "--dist",
+        action="store_true",
+        help="print the distributed shuffle cost model (bytes per hop "
+        "per level, flat vs hier, predicted scaling efficiency vs P) — "
+        "the calibrated stand-in for multi-chip numbers this 1-chip "
+        "container cannot measure (bench/dist_model.py)",
+    )
+    p.add_argument(
+        "--n-levels", type=int, default=1,
+        help="join levels for the --dist model",
+    )
     p.set_defaults(func=cmd_roofline)
 
 
@@ -323,6 +335,11 @@ def cmd_roofline(args) -> int:
     print(report(args.n_build, args.n_probe, measured))
     if args.anchor:
         print(measure_anchors())
+    if args.dist:
+        from ccve_tpu.bench.dist_model import report_dist
+
+        print()
+        print(report_dist(args.n_build, args.n_probe, args.n_levels))
     return 0
 
 
@@ -374,6 +391,13 @@ def cmd_dist(args) -> int:
 
     from ccve_tpu.parallel.bootstrap import init_distributed, run_dist_join
 
+    if args.zipf_alpha is not None and args.shuffle == "hier":
+        raise SystemExit(
+            "error: --shuffle hier cannot be combined with --zipf-alpha: "
+            "the PRPD skew path runs on the flat shuffle only. Drop one "
+            "of the two flags (--shuffle auto maps to flat under "
+            "--zipf-alpha)."
+        )
     info = init_distributed(
         coordinator=args.coordinator,
         num_processes=args.num_processes,

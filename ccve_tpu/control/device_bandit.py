@@ -174,8 +174,15 @@ def update_arms(
     # a change-detection reset uncommits and restarts the streak; while
     # committed the streak math is frozen (greedy == committed trivially)
     greedy = jnp.argmax(est, axis=1).astype(jnp.int32)
-    streak = jnp.where(greedy == st.last_greedy, st.streak + 1, 1)
     warm_done = n_start >= A * start_sampling
+    # the streak accrues only over genuine greedy selections: during the
+    # warm-start round-robin `greedy` is an argmax of partially-populated
+    # estimates, and letting it count toward the commit streak allowed a
+    # commit on the very first post-warm update (each arm sampled just
+    # start_sampling times) with no recovery before the HEARTBEAT
+    streak = jnp.where(
+        warm_done, jnp.where(greedy == st.last_greedy, st.streak + 1, 1), 0
+    )
     commit_now = (
         (commit_after > 0)
         & warm_done

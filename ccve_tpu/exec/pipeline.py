@@ -975,6 +975,14 @@ class JoinPipeline:
             pstate = self._process(
                 pstate, batch_cols, ccounts, jnp.asarray(thresholds)
             )
+            if dynamic:
+                # runs BEFORE any zebra readback so profiling overhead
+                # never contaminates the bandit's per-segment reward
+                # clock. Scalar readback: the only sync that actually
+                # waits through the axon relay (block_until_ready
+                # returns early there — PERF_NOTES.md)
+                np.asarray(jax.device_get(pstate.result_count))
+                seg_time = (time.perf_counter() - seg_t0) / ((s1 - s0) * K)
             if zebra_profile:
                 # the occupancy readback IS the segment sync
                 occ = np.asarray(jax.device_get(pstate.occupancy))
@@ -983,11 +991,6 @@ class JoinPipeline:
                 )
                 prev_occ = occ
             if dynamic:
-                # scalar readback: the only sync that actually waits
-                # through the axon relay (block_until_ready returns
-                # early there — PERF_NOTES.md)
-                np.asarray(jax.device_get(pstate.result_count))
-                seg_time = (time.perf_counter() - seg_t0) / ((s1 - s0) * K)
                 # reference reward shape: 2 / per-chunk-time / 1e3
                 # (main.cpp:164-166); credited to the explored level only
                 reward = 2.0 / max(seg_time, 1e-12) / 1e3

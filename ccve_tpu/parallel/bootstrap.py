@@ -100,10 +100,10 @@ def run_dist_join(
     `hierarchical` (default: auto — on when the launch really is
     multi-process with >1 local device per process) uses the 2D
     (dcn, ici) mesh whose LEADING axis is the process boundary — the
-    genuine cross-host link — and the 3-hop shuffle
-    (`dist_bulk_count_hier`): every key crosses the slow axis exactly
-    once inside a host-aggregated grid, fine-grained owner routing
-    stays on the fast intra-process axis."""
+    genuine cross-host link — and the 2-hop shuffle
+    (`dist_bulk_count_hier`): an intra-process hop to the owner's chip
+    column, then every key crosses the slow axis exactly once inside a
+    host-aggregated grid, landing directly at its owner."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -595,22 +595,48 @@ def make_join_mesh_2d(
 def _route_one_hop(vals: jax.Array, dest: jax.Array, n_dest: int, axis: str,
                    cap: int):
     """Route int64 `vals` to shard `dest` along mesh `axis` with one
-    all_to_all of a [n_dest, cap] grid (-2 = empty slot). Returns
-    (received flat values, reverse-routing state, overflow)."""
+    all_to_all of a [n_dest, cap] grid (-2 = empty slot).
+
+    Dead values (-2 — probe padding, PRPD-masked keys, or grid filler
+    from a previous hop) need no particular destination, so their
+    `dest` is ignored: they are assigned to rows with FREE capacity
+    (free-slot fill), live values pack first within each row, and any
+    dead value that still doesn't fit scatters into a phantom column
+    that is never transmitted. Live keys therefore can never be
+    displaced by padding, and `overflow` reflects live counts only.
+    Returns (received flat values, reverse-routing state, overflow)."""
     n = vals.shape[0]
-    order = jnp.argsort(dest, stable=True)
+    dead = vals == -2
+    dead_i = dead.astype(jnp.int32)
+    live_i = 1 - dead_i
+    counts_live = jnp.zeros(n_dest, jnp.int32).at[dest].add(live_i)
+    overflow = jnp.any(counts_live > cap)
+    # dead value of rank r fills global free slot r mod F
+    free = jnp.maximum(cap - counts_live, 0)
+    cum_free = jnp.cumsum(free)
+    total_free = cum_free[-1]
+    dead_rank = jnp.cumsum(dead_i) - 1
+    slot = dead_rank % jnp.maximum(total_free, 1)
+    dest_dead = jnp.searchsorted(cum_free, slot, side="right").astype(
+        jnp.int32
+    )
+    dest = jnp.where(dead, dest_dead, dest).astype(jnp.int32)
+    # group by destination with live values first inside each group, so
+    # a live value's in-group position is always < counts_live[d] <= cap
+    order = jnp.argsort(dest * 2 + dead_i, stable=True)
     dest_sorted = jnp.take(dest, order)
     vals_sorted = jnp.take(vals, order)
     counts = jnp.zeros(n_dest, jnp.int32).at[dest].add(1)
     offs = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
     pos = jnp.arange(n, dtype=jnp.int32) - jnp.take(offs, dest_sorted)
-    overflow = jnp.any(counts > cap)
-    safe_pos = jnp.where(pos < cap, pos, cap - 1)
-    send = jnp.full((n_dest, cap), -2, jnp.int64)
+    # clamp to the phantom column `cap` (dropped before the all_to_all)
+    safe_pos = jnp.where(pos < cap, pos, cap)
+    send = jnp.full((n_dest, cap + 1), -2, jnp.int64)
     send = send.at[dest_sorted, safe_pos].set(vals_sorted)
-    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    recv = jax.lax.all_to_all(send[:, :cap], axis, split_axis=0,
+                              concat_axis=0)
     inv = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    state = (dest_sorted, safe_pos, inv)
+    state = (dest_sorted, jnp.minimum(safe_pos, cap - 1), inv)
     return recv.reshape(-1), state, overflow
 
 
@@ -629,47 +655,50 @@ def _route_back_one_hop(stats: Sequence[jax.Array], state, n_dest: int,
 
 def _hier_level_stats(table_arrays, ptables: PartitionedTables, keys,
                       n_hosts: int, n_ici: int, caps):
-    """Three-hop hierarchical shuffle: keys cross DCN once, aggregated
-    [D, capB] grids instead of P-1 fine-grained messages.
+    """Two-hop hierarchical shuffle: ICI owner-column aggregation, then
+    ONE host-aggregated DCN crossing that lands every key exactly at
+    its owner chip.
 
-      hop A (ici): to local chip j = dest_host % I  (aggregation stage)
-      hop B (dcn): to the destination host
-      hop C (ici): to the owner chip i = owner % I
+      hop A (ici): to local chip i = owner % I  (the owner's chip column)
+      hop B (dcn): to host d = owner // I — the receiving chip IS the
+                   owner, since its column was fixed by hop A
 
-    The final owner is recomputed from the key at every hop (the key IS
-    the routing metadata); dead keys (-2) spread round-robin. Returns
-    (mult, psum, owner histogram, overflow) like `_shuffle_level_stats`."""
+    Owner-column routing is uniform, so hop B's [D, capB] grid has ALL
+    rows live at ~per_dev/D keys each — byte-optimal DCN traffic in D-1
+    aggregated messages per chip. (The previous 3-hop design aggregated
+    by destination HOST first: each chip's traffic then concentrated on
+    ceil(D/I) of the D grid rows, forcing row capacity up by I/ceil(D/I)
+    and re-routing grid padding forward so cap slack compounded across
+    hops — bench/dist_model.py priced it above the FLAT shuffle's DCN
+    bytes. One hop, strictly fewer bytes, was the fix.) Dead keys (-2)
+    fill free row capacity inside `_route_one_hop` and their returned
+    stats are masked to zero here. Returns (mult, psum, owner
+    histogram, overflow) like `_shuffle_level_stats`."""
     P_ = n_hosts * n_ici
-    capA, capB, capC = caps
-
-    def owner_of(k):
-        o = _owner_jnp(k, P_)
-        dead = k == -2
-        rr = (
-            jnp.arange(k.shape[0], dtype=jnp.int32) % P_
-        )
-        return jnp.where(dead, rr, o)
-
-    owner0 = owner_of(keys)
-    hist = jnp.zeros(P_, jnp.int64).at[owner0].add(1)
+    capA, capB = caps
+    owner0 = _owner_jnp(keys, P_)
+    live0 = keys != -2
+    hist = jnp.zeros(P_, jnp.int64).at[owner0].add(live0.astype(jnp.int64))
 
     kA, stA, ovA = _route_one_hop(
-        keys, (owner0 // n_ici) % n_ici, n_ici, ICI_AXIS, capA
+        keys, owner0 % n_ici, n_ici, ICI_AXIS, capA
     )
-    oA = owner_of(kA)
+    oA = _owner_jnp(kA, P_)
     kB, stB, ovB = _route_one_hop(kA, oA // n_ici, n_hosts, DCN_AXIS, capB)
-    oB = owner_of(kB)
-    kC, stC, ovC = _route_one_hop(kB, oB % n_ici, n_ici, ICI_AXIS, capC)
 
     local = ptables.local_table(table_arrays)
-    stats = match_stats(local, kC)
+    stats = match_stats(local, kB)
 
-    mB, pB = _route_back_one_hop(
-        [stats.mult.astype(jnp.int64), stats.psum], stC, n_ici, ICI_AXIS
+    # mult stays int32 across both return hops (12 B/slot with psum —
+    # the same wire cost per slot as the flat shuffle's return)
+    mA, pA = _route_back_one_hop(
+        [stats.mult, stats.psum], stB, n_hosts, DCN_AXIS
     )
-    mA, pA = _route_back_one_hop([mB, pB], stB, n_hosts, DCN_AXIS)
     mult, psum = _route_back_one_hop([mA, pA], stA, n_ici, ICI_AXIS)
-    overflow = ovA | ovB | ovC
+    # dead keys may have read a clamped slot's stats on the way back
+    mult = jnp.where(live0, mult, 0)
+    psum = jnp.where(live0, psum, 0)
+    overflow = ovA | ovB
     return mult.astype(jnp.int32), psum, hist, overflow
 
 
@@ -680,15 +709,16 @@ def dist_bulk_count_hier(
     cap_slack: float = 2.0,
 ) -> DistResult:
     """Distributed N-way join count over a 2D (dcn, ici) mesh with the
-    HIERARCHICAL radix shuffle: each probe key crosses the slow DCN axis
-    exactly once, inside a host-aggregated [n_hosts, cap] grid, with the
-    fine-grained owner routing kept on ICI hops before and after. The
-    flat `dist_bulk_count` all_to_all sends P-1 per-chip messages of
-    which (P - I) cross DCN individually; here DCN sees D-1 aggregated
-    messages per chip. (Scaling-book recipe: lay shardings out so
-    collectives ride ICI, aggregate what must cross DCN.) Tables must be
-    partitioned with `mesh=the same 2D mesh` (partition p on device
-    (p // I, p % I))."""
+    HIERARCHICAL radix shuffle: an ICI hop to the owner's chip column,
+    then each probe key crosses the slow DCN axis exactly once, inside
+    a host-aggregated [n_hosts, cap] grid, landing directly at its
+    owner chip. The flat `dist_bulk_count` all_to_all sends P-1
+    per-chip messages of which (P - I) cross DCN individually; here DCN
+    sees D-1 aggregated messages per chip at the byte-optimal size
+    (~per_dev/D live keys each). (Scaling-book recipe: lay shardings
+    out so collectives ride ICI, aggregate what must cross DCN.) Tables
+    must be partitioned with `mesh=the same 2D mesh` (partition p on
+    device (p // I, p % I))."""
     assert tuple(mesh.axis_names) == (DCN_AXIS, ICI_AXIS), mesh.axis_names
     n_hosts, n_ici = mesh.devices.shape
     n_parts = n_hosts * n_ici
@@ -704,12 +734,13 @@ def dist_bulk_count_hier(
     def capf(avg):
         return max(int(avg * cap_slack) + 8, 16)
 
-    # hop A: per source chip, keys for local-chip j ~= per_dev * ceil(D/I)/D
-    capA = capf(per_dev * (-(-n_hosts // n_ici)) / n_hosts)
-    nA = n_ici * capA  # values held after hop A
-    capB = capf(nA / n_hosts)
-    nB = n_hosts * capB
-    capC = capf(nB / n_ici)
+    # hop A (ici): owner chip-columns are uniform over I -> each source
+    # chip sends ~per_dev/I keys per column. hop B (dcn): after hop A a
+    # chip holds ~per_dev live keys whose destination hosts are uniform
+    # over D -> ~per_dev/D per row. Caps are sized off LIVE expectations
+    # (grid padding fills free capacity, _route_one_hop).
+    capA = capf(per_dev / n_ici)
+    capB = capf(per_dev / n_hosts)
 
     probe_sharded = jax.device_put(
         probe, NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS), None))
@@ -728,7 +759,7 @@ def dist_bulk_count_hier(
             arrs = tuple(a[0] for a in table_leaves[l])
             m, s, h, o = _hier_level_stats(
                 arrs, pt, probe_local[:, l], n_hosts, n_ici,
-                (capA, capB, capC),
+                (capA, capB),
             )
             mults.append(m.astype(jnp.int64))
             psums.append(s)

@@ -175,8 +175,9 @@ def test_dist_hot_split_multilevel_mixed():
 @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (2, 2)])
 @pytest.mark.parametrize("kind", ["lp", "sorted"])
 def test_dist_hier_matches_oracle(shape, kind):
-    """Hierarchical (dcn, ici) 3-hop shuffle vs the oracle — keys cross
-    the dcn axis exactly once in host-aggregated grids."""
+    """Hierarchical (dcn, ici) 2-hop shuffle vs the oracle — an ICI hop
+    to the owner's chip column, then keys cross the dcn axis exactly
+    once in host-aggregated grids, landing at their owner."""
     from ccve_tpu.parallel.distributed import (
         dist_bulk_count_hier,
         make_join_mesh_2d,
