@@ -157,6 +157,22 @@ class SortedPipeline(JoinPipeline):
             self._rank_tables = [rank_table(t) for t in tables]
             self._rank_col0 = self.width
             self.width += self.n_levels
+        # fused per-segment drain kernel (kernels/drain.py): the whole
+        # level recursion for a segment runs as ONE pallas_call with the
+        # compactor caches carried in VMEM scratch — eligibility mirrors
+        # the final-level count collapse (count-only, no occupancy) plus
+        # a bounded static unroll over the drain fan-outs
+        paths = 1
+        for f in self._fanout[:-1]:
+            paths *= f
+        self._fused_drain_ok = (
+            rank_mode == "batched"
+            and self.capacity == 0
+            and not config.record_occupancy
+            and (use_kernel or interpret)
+            and paths <= 64
+            and config.block_size >= 128
+        )
 
     # ------------------------------------------------------------------
 
@@ -413,10 +429,78 @@ class SortedPipeline(JoinPipeline):
             )
         return self._run_tree(0, padded, count, ps, thresholds, extra)
 
+    def _scan_chunks_fused(
+        self, pstate, chunk_cols, chunk_counts, thresholds
+    ):
+        """Fused drain: batched rank precompute, then the segment's
+        whole chunk-at-a-time level recursion in ONE Pallas dispatch
+        (kernels/drain.py) with the compactor caches as carried VMEM
+        state. Count-only: the kernel consumes mult planes; cache rank
+        columns round-trip as (mult << 32) so the XLA flush cascade
+        (`_flush_all`) reads the kernel's caches unchanged."""
+        from ccve_tpu.kernels.drain import _plane_rows, drain_segment
+
+        S, _, B = chunk_cols.shape
+        L = self.n_levels
+        seg_ranks = self._seg_ranks(chunk_cols)  # [S, L, B] i64
+        mults = jax.lax.shift_right_logical(seg_ranks, 32).astype(
+            jnp.int32
+        )
+        if self.prefilter is not None:
+            keep0 = self.prefilter(chunk_cols[:, self.prefilter_col, :])
+            mults = mults.at[:, 0, :].set(
+                jnp.where(keep0, mults[:, 0, :], 0)
+            )
+        R = _plane_rows(B)
+        RF = R * 128
+        if RF != B:
+            mults = jnp.pad(mults, ((0, 0), (0, 0), (0, RF - B)))
+        CL = max(L - 1, 1)
+        c0 = self._rank_col0
+        cache_ranks = pstate.cache_cols[:CL, c0 : c0 + L, :]
+        cache_m = jax.lax.shift_right_logical(cache_ranks, 32).astype(
+            jnp.int32
+        )
+        if RF != B:
+            cache_m = jnp.pad(cache_m, ((0, 0), (0, 0), (0, RF - B)))
+        total, cache_o, ccnt_o, work, rows = drain_segment(
+            mults,
+            chunk_counts.astype(jnp.int32),
+            thresholds,
+            cache_m,
+            pstate.cache_count[:CL],
+            block=self.block,
+            fanouts=tuple(self._fanout),
+            interpret=self.interpret or not self.use_kernel,
+        )
+        new_rank_cols = (
+            cache_o[..., :B].astype(jnp.int64) << 32
+        )
+        cache_cols = pstate.cache_cols.at[:CL, c0 : c0 + L, :].set(
+            new_rank_cols
+        )
+        cache_count = pstate.cache_count.at[:CL].set(ccnt_o[:, 0])
+        pstate = pstate._replace(
+            result_count=pstate.result_count
+            + total[0, 0].astype(jnp.int64),
+            cache_cols=cache_cols,
+            cache_count=cache_count,
+        )
+        if self.config.strategy is CompactionStrategy.DYNAMIC:
+            pstate = pstate._replace(
+                level_steps=pstate.level_steps + work[:, 0],
+                level_rows=pstate.level_rows + rows[:, 0],
+            )
+        return pstate
+
     def _scan_chunks(self, pstate, chunk_cols, chunk_counts, thresholds):
         """lax.scan over one segment's chunks, with the batched rank
         precompute (ONE sort-merge pass per level for the whole segment)
         hoisted ahead of the scan."""
+        if self._fused_drain_ok:
+            return self._scan_chunks_fused(
+                pstate, chunk_cols, chunk_counts, thresholds
+            )
         if self.rank_mode == "batched":
             seg_ranks = self._seg_ranks(chunk_cols)
 

@@ -26,6 +26,7 @@ def test_bigsort_random(n):
     _check(rng.integers(-(1 << 31), (1 << 31) - 1, n, dtype=np.int32))
 
 
+@pytest.mark.slow
 def test_bigsort_structured():
     rng = np.random.default_rng(3)
     _check(rng.integers(0, 50, 20000).astype(np.int32))  # heavy dups
@@ -52,6 +53,7 @@ def test_merge_sorted_two_runs():
         assert np.array_equal(got, ref), (nA, nB)
 
 
+@pytest.mark.slow
 def test_carried_merge_matches_split_path():
     """The carried-cursor merge levels (SMEM crossover counting, desc
     pairs in complement space) must equal the merge-path-split kernel
@@ -86,6 +88,7 @@ def test_carried_merge_matches_split_path():
                 assert np.array_equal(got_c, got_s), (nt, cap)
 
 
+@pytest.mark.slow
 def test_carried_merge_tie_heavy():
     """Massive duplicates: crossover ties may attribute equal values to
     either stream — the multiset and per-run ordering must still hold."""

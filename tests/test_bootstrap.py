@@ -50,6 +50,7 @@ def _result(proc, timeout=600):
     return json.loads(out.strip().splitlines()[-1])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shuffle", ["hier", "flat"])
 def test_dist_two_process_launch_matches_single(shuffle):
     """2 processes x 2 devices vs one 4-device single-process run (which

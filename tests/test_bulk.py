@@ -48,6 +48,7 @@ def test_bulk_count_tiled():
     assert int(res.count) == expected.shape[0]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["lp", "csr", "sorted"])
 def test_bulk_materialize_matches_oracle(kind):
     probe, tables, oracles = _workload(2, 300, 48, 2, kind)

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ccve_tpu.core import chunk as C
+import pytest
 
 
 def _mk(rows):
@@ -82,6 +83,7 @@ def test_gather_rows_masks_dead_lanes():
     assert (dense[:, 1:] == 0).all()
 
 
+@pytest.mark.slow
 def test_compact_rows_matches_compress_gather():
     """compact_rows (fused masked scatter) == compress_indices followed
     by a dense gather, including the zero tail."""

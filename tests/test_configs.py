@@ -24,6 +24,7 @@ def test_config2_tiny():
     assert r["dynamic_compaction"]["seconds"] > 0
 
 
+@pytest.mark.slow
 def test_config3_tiny():
     r = configs.config3_four_way(lhs=3000, rhs=256, block=256)
     assert r["bulk"]["seconds"] > 0
@@ -44,6 +45,7 @@ def test_config5_tiny():
     assert r["scaling_efficiency"] > 0
 
 
+@pytest.mark.slow
 def test_config7_tiny():
     r = configs.config7_heterogeneous_levels(
         lhs=8000, rhs=256, block=256, segment_chunks=2
@@ -59,6 +61,7 @@ def test_config7_tiny():
     assert r["dynamic_vs_best_static"] > 0
 
 
+@pytest.mark.slow
 def test_config6_tiny(tmp_path):
     r = configs.config6_mixed_selectivity(
         lhs=8000, rhs=256, block=256, phase_chunks=8, mod=4,

@@ -223,6 +223,7 @@ def test_dist_hier_overflow_detected():
     assert bool(res.overflow)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_dist_expand_matches_single_chip(n_devices):
     """Materialized distributed join == single-chip sorted_expand as a

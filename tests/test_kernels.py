@@ -53,6 +53,7 @@ def test_pallas_compact_all_and_none():
         assert int(count0) == 0
 
 
+@pytest.mark.slow
 def test_merge_scan_stats_matches_xla_path():
     import jax
 
@@ -81,6 +82,7 @@ def test_merge_scan_stats_matches_xla_path():
     assert int(psum.sum()) == int(np.asarray(ref.psum).sum())
 
 
+@pytest.mark.slow
 def test_merge_scan_totals_via_kernel():
     import dataclasses
 
@@ -102,6 +104,7 @@ def test_merge_scan_totals_via_kernel():
     assert int(p_k) == int(p_ref)
 
 
+@pytest.mark.slow
 def test_merge_scan_packed_kernel():
     import dataclasses
 
@@ -122,6 +125,7 @@ def test_merge_scan_packed_kernel():
     assert int(p_k) == int(p_ref)
 
 
+@pytest.mark.slow
 def test_merge_scan_counts32_kernel():
     """Count-side u32 path vs the XLA scan path — duplicates, misses,
     out-of-range probes, and exact multiple-of-TILE sizes."""
@@ -141,6 +145,7 @@ def test_merge_scan_counts32_kernel():
         assert int(p_k) == int(p_ref), (m, n)
 
 
+@pytest.mark.slow
 def test_merge_scan_counts32_negative_payloads():
     """The count-side path is exact for NEGATIVE payloads (they never
     enter a sort or a monotone scan — the dot carries the sign)."""
@@ -162,6 +167,7 @@ def test_merge_scan_counts32_negative_payloads():
     assert int(p_k) == int(p_ref)
 
 
+@pytest.mark.slow
 def test_merge_counts_fused_matches_split_path():
     """Merge-fused counts kernel == merge + dense-counts chain."""
     import jax.numpy as jnp
@@ -268,6 +274,7 @@ def test_merge_counts_fused_per_run_invocation():
     assert np.array_equal(got1 + got2, ref)
 
 
+@pytest.mark.slow
 def test_count_side_bc_partial_sort_path():
     """_count_side_bc (early-stopped partial sort + per-run counts)
     against a NumPy histogram oracle, at sizes that force multiple

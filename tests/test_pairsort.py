@@ -29,6 +29,7 @@ def _check_pairs(k, vs):
     assert got == ref
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [100, 4095, 4096, 5000, 16384, 16385])
 @pytest.mark.parametrize("n_planes", [1, 3])
 def test_pairsort_random(n, n_planes):
@@ -42,6 +43,7 @@ def test_pairsort_random(n, n_planes):
     _check_pairs(k, vs)
 
 
+@pytest.mark.slow
 def test_pairsort_duplicate_keys_keep_pairing():
     rng = np.random.default_rng(5)
     n = 20000
@@ -50,6 +52,7 @@ def test_pairsort_duplicate_keys_keep_pairing():
     _check_pairs(k, [v])
 
 
+@pytest.mark.slow
 def test_pairsort_matches_stable_argsort_values_per_key():
     """Per-key value multisets must match a stable argsort exactly."""
     rng = np.random.default_rng(11)

@@ -83,6 +83,7 @@ def test_pipeline_reference_payload_mode():
     assert (out["rows"][:, cfg.n_joins] == 0).all()
 
 
+@pytest.mark.slow
 def test_pipeline_dynamic_strategy():
     cfg, probe, tables, expected = _setup(
         n_joins=2,
@@ -261,6 +262,7 @@ def test_pipeline_per_level_thresholds():
     assert_same_multiset(out["rows"], expected)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("branchy", [False, True])
 @pytest.mark.parametrize("lanes", [1, 3])
 def test_pipeline_interaction_matrix(branchy, lanes):
@@ -296,6 +298,7 @@ def test_pipeline_interaction_matrix(branchy, lanes):
     assert out["count"] == expected.shape[0]
 
 
+@pytest.mark.slow
 def test_pipeline_device_tuner_matches_oracle():
     """DYNAMIC with the ON-DEVICE bandit (zero host syncs) must stay
     oracle-exact and report per-level bandit state."""

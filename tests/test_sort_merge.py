@@ -109,6 +109,7 @@ def test_pack_meta_rejects_wide_ranges():
     assert int(c) == 2 and int(p) == 11
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
 def test_pack32_padded_pipeline(probe_dtype):
     """The TPU count-side path end-to-end in interpret mode: i32 pack
@@ -134,6 +135,7 @@ def test_pack32_padded_pipeline(probe_dtype):
     assert int(p) == int(ref_p)
 
 
+@pytest.mark.slow
 def test_sorted_expand_matches_bruteforce():
     """Gather-free materialization: exact multiset of matched
     (probe_row, build_key, build_payload) triples, overflow reported."""
@@ -170,6 +172,7 @@ def test_sorted_expand_matches_bruteforce():
     assert int((np.asarray(rows2) >= 0).sum()) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
 def test_pack32_out_of_range_probes(probe_dtype):
     """Probe keys outside the build range (below kmin, above kmax,
@@ -203,6 +206,7 @@ def test_pack32_out_of_range_probes(probe_dtype):
     assert int(p) == int(ref_p)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("probe_dtype", [np.int64, np.int32])
 @pytest.mark.parametrize("allow_negative", [False, True])
 def test_sorted_stats_pallas_path(probe_dtype, allow_negative):
@@ -235,6 +239,7 @@ def test_sorted_stats_pallas_path(probe_dtype, allow_negative):
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
 
 
+@pytest.mark.slow
 def test_sorted_stats_pallas_path_small_n():
     """Below one tile every sort takes the lax.sort shortcut — the
     packing/unsort logic (and the fused stats scan, which always runs
@@ -252,6 +257,7 @@ def test_sorted_stats_pallas_path_small_n():
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
 
 
+@pytest.mark.slow
 def test_sorted_expand_pallas_path():
     """The multi-plane Pallas expand (interpret mode, shrunken tiles)
     must produce the same triple multiset as the XLA fallback."""
@@ -286,6 +292,7 @@ def test_sorted_expand_pallas_path():
     assert triples(r1, k1, p1) == triples(r0, k0, p0)
 
 
+@pytest.mark.slow
 def test_sorted_expand_pallas_compact_branch():
     """Sizes where the F*(m+n) candidate count is a multiple of 128:
     the expand's final compaction dispatches to the stream-compaction
@@ -324,6 +331,7 @@ def test_sorted_expand_pallas_compact_branch():
     assert triples(r1, k1, p1) == triples(r0, k0, p0)
 
 
+@pytest.mark.slow
 def test_sorted_stats_pallas_path_wide_psum():
     """Payloads too wide for the packed (psum << mult_bits | mult)
     unsort plane: the 4-plane kernel variant must kick in and agree."""
@@ -343,6 +351,7 @@ def test_sorted_stats_pallas_path_wide_psum():
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kmin", [-1000, -2**40])
 def test_sorted_stats_pallas_negative_key_range(kmin):
     """pack32 with negative build-key ranges: key_lo arithmetic and the
@@ -365,6 +374,7 @@ def test_sorted_stats_pallas_negative_key_range(kmin):
     np.testing.assert_array_equal(np.asarray(got.psum), np.asarray(ref.psum))
 
 
+@pytest.mark.slow
 def test_sorted_match_ranks():
     """(mult, start) recovered from the rank-index twin's payload sums
     vs searchsorted ground truth, duplicates + missing keys included."""

@@ -229,6 +229,7 @@ def test_sorted_pipeline_with_prefilter():
 @pytest.mark.parametrize(
     "strategy", [CompactionStrategy.NONE, CompactionStrategy.FULL]
 )
+@pytest.mark.slow
 def test_sorted_pipeline_kernel_interpret(strategy):
     """The fused Pallas chunk-probe kernel (interpret mode on CPU)
     through the whole executor, duplicates included."""
@@ -246,6 +247,7 @@ def test_sorted_pipeline_kernel_interpret(strategy):
     assert_same_multiset(out["rows"], expected)
 
 
+@pytest.mark.slow
 def test_chunk_rank_kernel_interpret():
     """Unit: kernel (mult, start) vs searchsorted, tables around the
     block size, partial counts, out-of-range keys, duplicates."""
