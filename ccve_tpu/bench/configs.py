@@ -120,6 +120,64 @@ def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merg
     }
 
 
+def config1_materialize(n_build=1_000_000, n_probe=16_000_000):
+    """Materializing single join at full scale: `sorted_expand` emits
+    every matched (probe_row, build_key, build_payload) triple — the
+    reference's observable product (GatherResult,
+    chaining_ht.cpp:126-136; flag_collect_tuples, setting.h:31) — and
+    the artifact records tuples-out rows/s, not just counts.
+
+    Validation: total == the count-side engine's count, payload sum ==
+    its checksum, plus an exact host-side check of 1024 sampled triples
+    against the generators."""
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.bulk import bulk_count
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_expand
+
+    keys, payloads = gen_rhs_table(n_build, 1)
+    probe = gen_probe_table(n_probe, 1, n_build)
+    table = build_sorted(keys, payloads)
+    probe_dev = jax.device_put(jnp.asarray(probe[:, 0]))
+    cap = n_probe  # chunk_factor 1: every probe matches <= 1 build row
+
+    ref = bulk_count([table], probe)
+    expected = int(ref.count)
+    chk = int(ref.payload_checksums[0])
+
+    @jax.jit
+    def expand(p):
+        rows, ck, cp, total = sorted_expand(table, p, cap)
+        return rows, ck, cp, total, jnp.sum(cp)
+
+    best, out = _timed(lambda p: expand(p), probe_dev)
+    rows, ck, cp, total, psum = out
+    assert int(total) == expected, (int(total), expected)
+    assert int(psum) == chk, (int(psum), chk)
+
+    # sampled exactness: triple (r, k, p) must reproduce the generators
+    rng = np.random.default_rng(0)
+    samp = rng.integers(0, expected, 1024)
+    r_h = np.asarray(rows)[samp]
+    k_h = np.asarray(ck)[samp]
+    p_h = np.asarray(cp)[samp]
+    key_by_row = probe[r_h, 0]
+    assert np.array_equal(k_h, key_by_row), "sampled keys mismatch"
+    pay_lookup = dict(zip(keys.tolist(), payloads.tolist()))
+    assert all(
+        pay_lookup[int(k)] == int(p) for k, p in zip(k_h, p_h)
+    ), "sampled payloads mismatch"
+
+    return {
+        "name": "config1_materialize",
+        "seconds": best,
+        "rows_per_s": n_probe / best,
+        "tuples_out": expected,
+        "tuples_out_per_s": expected / best,
+        "payload_checksum_ok": True,
+        "sampled_triples_ok": 1024,
+    }
+
+
 def config2_filtered_join(
     lhs=1_000_000, rhs=100_000, block=2048, selectivity_mod=10
 ):

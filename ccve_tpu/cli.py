@@ -269,6 +269,13 @@ def _add_baseline(sub):
         "engines time the reference-shaped gather-probe formulations "
         "at full scale",
     )
+    p.add_argument(
+        "--materialize",
+        action="store_true",
+        help="config 1 only: time the MATERIALIZING join (sorted_expand "
+        "emits every matched triple — the reference's collect_tuples "
+        "product, setting.h:31) instead of the count-side engine",
+    )
     p.set_defaults(func=cmd_baseline)
 
 
@@ -292,6 +299,15 @@ def cmd_baseline(args) -> int:
         if args.config != 1:
             raise SystemExit("--engine applies to --config 1 only")
         kwargs["engine"] = args.engine
+    if args.materialize:
+        if args.config != 1:
+            raise SystemExit("--materialize applies to --config 1 only")
+        from ccve_tpu.bench.configs import config1_materialize
+
+        kwargs.pop("engine", None)
+        result = config1_materialize(**kwargs)
+        print(json.dumps(result, default=str))
+        return 0
     result = ALL_CONFIGS[args.config](**kwargs)
     print(json.dumps(result, default=str))
     return 0

@@ -474,7 +474,7 @@ class SortedPipeline(JoinPipeline):
             interpret=self.interpret or not self.use_kernel,
         )
         new_rank_cols = (
-            cache_o[..., :B].astype(jnp.int64) << 32
+            cache_o.reshape(CL, L, RF)[:, :, :B].astype(jnp.int64) << 32
         )
         cache_cols = pstate.cache_cols.at[:CL, c0 : c0 + L, :].set(
             new_rank_cols

@@ -179,17 +179,22 @@ def _merge_splits_alt(y, run_log: int, n_tiles: int, tile_log: int,
     )
     d = jnp.where(desc_out, Lo - q0 - tile, q0)
 
+    # sentinels from the key dtype: the bisection also serves the 64-bit
+    # limb sorts (pairsort), which hand it reconstructed int64 keys
+    KMAX = jnp.asarray(jnp.iinfo(y.dtype).max, y.dtype)
+    KMIN = jnp.asarray(jnp.iinfo(y.dtype).min, y.dtype)
+
     def fetch_a(off):
         idx = a_base + off
         v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
-        v = jnp.where((off >= L) | (idx >= n_pad), I32_MAX, v)
-        return jnp.where(off < 0, I32_MIN, v)
+        v = jnp.where((off >= L) | (idx >= n_pad), KMAX, v)
+        return jnp.where(off < 0, KMIN, v)
 
     def fetch_b(off):
         idx = b_base + La - 1 - off
         v = jnp.take(y, jnp.clip(idx, 0, n_pad - 1), mode="clip")
-        v = jnp.where(off >= La, I32_MAX, v)
-        return jnp.where(off < 0, I32_MIN, v)
+        v = jnp.where(off >= La, KMAX, v)
+        return jnp.where(off < 0, KMIN, v)
 
     # find max a in [lo0, hi0] with A[a-1] <= B[d-a]  (then B[b-1] < A[a])
     lo = jnp.maximum(d - L, 0)
@@ -554,16 +559,19 @@ def _merge_splits_two(y, nA: int, nB: int, n_tiles: int, tile_log: int,
     t = jnp.arange(n_tiles, dtype=jnp.int32)
     d = t * tile  # diagonal = global output position of the tile start
 
+    KMAX = jnp.asarray(jnp.iinfo(y.dtype).max, y.dtype)
+    KMIN = jnp.asarray(jnp.iinfo(y.dtype).min, y.dtype)
+
     def fetch_a(off):
         v = jnp.take(y, base + jnp.clip(off, 0, n_pad - 1), mode="clip")
-        v = jnp.where(off >= nA, I32_MAX, v)
-        return jnp.where(off < 0, I32_MIN, v)
+        v = jnp.where(off >= nA, KMAX, v)
+        return jnp.where(off < 0, KMIN, v)
 
     def fetch_b(off):
         idx = nA + nB - 1 - off
         v = jnp.take(y, base + jnp.clip(idx, 0, n_pad - 1), mode="clip")
-        v = jnp.where(off >= nB, I32_MAX, v)
-        return jnp.where(off < 0, I32_MIN, v)
+        v = jnp.where(off >= nB, KMAX, v)
+        return jnp.where(off < 0, KMIN, v)
 
     lo = jnp.maximum(d - nB, 0)
     hi = jnp.minimum(d, nA)

@@ -112,9 +112,17 @@ def drain_segment(
         def gen(l: int, planes: dict, c):
             """Unrolled level recursion: drain ranks, compact, descend."""
             if l == L - 1:
-                # final-level count collapse: sum_t |{mult > t}| == sum
+                # final-level count collapse: sum_t |{mult > t}| == sum.
+                # Explicit lax.reduce: jnp.sum promotes its accumulator
+                # to i64 under ambient x64 (Mosaic has no 64-bit types)
                 m = jnp.where(flat < c, planes[l], 0)
-                res_s[0] = res_s[0] + jnp.sum(m)
+                # max-of-scan: m >= 0 so the inclusive prefix sum is
+                # monotone and its max IS the total (jnp.sum promotes
+                # to i64 under ambient x64; lax.reduce has no Mosaic
+                # lowering — PERF_NOTES gotchas)
+                res_s[0] = res_s[0] + jnp.max(
+                    fv.prefix_sum_i32(m, R, NR)
+                )
                 return
             thr = thr_ref[l]
             for t in range(fanouts[l]):
@@ -190,7 +198,7 @@ def drain_segment(
         in_specs=[
             pl.BlockSpec(
                 (1, L, R, 128),
-                lambda i: (i, 0, 0, 0),
+                lambda i, *_: (i, 0, 0, 0),  # *_: prefetch refs
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),

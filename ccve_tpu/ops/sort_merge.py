@@ -41,7 +41,8 @@ from ccve_tpu.exec.bulk import MatchStats
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["keys", "payloads"],
-    meta_fields=["pack", "pack32", "pay32", "max_mult"],
+    meta_fields=["pack", "pack32", "pay32", "max_mult", "span62",
+                 "wide_ok"],
 )
 @dataclasses.dataclass(frozen=True)
 class SortedTable:
@@ -63,6 +64,14 @@ class SortedTable:
     # sort as an i32 cargo plane (kernels/pairsort.py)
     pay32: bool = False
     max_mult: int = 1
+    # key span < 2^62: the 64-bit tag pack (k-lo)<<1|tag stays in int64
+    span62: bool = False
+    # wide-key Pallas eligibility (static, host-checked at build):
+    # span62 plus payloads non-negative (the fused scan's cummax base
+    # trick) and i32-sized — gates the 2-plane limb-key sort paths that
+    # keep >2^30-span int64 keys at kernel speed (the reference's key
+    # domain is all of int64, /root/reference/base.h:54-56)
+    wide_ok: bool = False
 
 
 def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
@@ -99,6 +108,10 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
     else:
         payloads = np.ascontiguousarray(payloads, dtype=np.int64)
     order = np.argsort(keys, kind="stable")
+    span62 = bool(
+        keys.size > 0
+        and int(keys.max()) - int(keys.min()) + 2 < 2**62
+    )
     if keys.size:
         _, counts = np.unique(keys, return_counts=True)
         max_mult = int(counts.max())
@@ -117,6 +130,12 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
             )
         ),
         max_mult=max_mult,
+        span62=span62,
+        wide_ok=bool(
+            span62
+            and payloads.min(initial=0) >= 0
+            and payloads.max(initial=0) < 2**31
+        ),
     )
 
 
@@ -287,6 +306,67 @@ def _sorted_match_stats_pallas(
     return MatchStats(mult=mult2[:n], psum=psum)
 
 
+def _pack64_streams(table: SortedTable, probe_keys: jax.Array):
+    """64-bit tag-packed merge streams for WIDE key domains (span <
+    2^62, `span62`): build key' even, probe key' odd; probes clamp into
+    [key_lo, key_hi] (guard rows that match nothing). The bases are
+    TRACED scalars read off the sorted table's ends — unlike pack32
+    there is no host-side bit-width to bake, because the packed value
+    always fits int64."""
+    key_lo = table.keys[0] - 1
+    key_hi = table.keys[-1] + 1
+    b64 = (table.keys - key_lo) << 1
+    pcl = jnp.clip(probe_keys.astype(jnp.int64), key_lo, key_hi)
+    p64 = ((pcl - key_lo) << 1) | 1
+    return b64, p64
+
+
+def _sorted_match_stats_pallas_wide(
+    table: SortedTable,
+    probe_keys: jax.Array,
+    tile_log: int | None,
+) -> MatchStats:
+    """`_sorted_match_stats_pallas` for key spans ABOVE pack32's 2^30:
+    the probe sort and the build merge run on the 2-plane (hi, lo)
+    limb-key kernels (kernels/pairsort.py `pallas_sort_multi_i64`), the
+    fused merge-scan consumes the merged stream in its tagged-limb form
+    (kernels/merge_scan.merge_scan_stats, limb-native already), and the
+    unsort stays an i32 plane sort keyed by row id. ~2x the packed
+    path's stage cost (two limbs + a 3-op compare per CE) instead of
+    the 3-operand int64 lax.sort fallback's ~8x. Gated on `wide_ok`."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_stats
+
+    tl = bs.TILE_LOG if tile_log is None else tile_log
+    n = probe_keys.shape[0]
+    b64, p64 = _pack64_streams(table, probe_keys)
+    bval = table.payloads.astype(jnp.int32)
+    pval = jnp.arange(n, dtype=jnp.int32)
+
+    sp_k, (sp_v,) = ps.pallas_sort_multi_i64(p64, [pval], tile_log=tl)
+    sk, (sval,) = ps.merge_sorted_multi_i64(
+        sp_k, [sp_v], b64, [bval], tile_log=tl
+    )
+
+    is_build = (sk & 1) == 0
+    # tagged-stream scan: key' (untagged) + tagged payload (pay*2+1
+    # builds / 0 probes), both int64 — merge_scan_stats splits limbs
+    st = jnp.where(is_build, sval.astype(jnp.int64) * 2 + 1, 0)
+    mult_sorted, psum_sorted = merge_scan_stats(sk >> 1, st)
+
+    key2 = jnp.where(is_build, jnp.int32(n), sval)
+    lo = psum_sorted.astype(jnp.int32)
+    hi = (psum_sorted >> 32).astype(jnp.int32)
+    _, (mult2, lo2, hi2) = ps.pallas_sort_multi_i32(
+        key2, [mult_sorted.astype(jnp.int32), lo, hi], tile_log=tl
+    )
+    psum = (hi2[:n].astype(jnp.int64) << 32) | (
+        lo2[:n].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+    )
+    return MatchStats(mult=mult2[:n], psum=psum)
+
+
 def sorted_match_stats(
     table: SortedTable,
     probe_keys: jax.Array,
@@ -308,6 +388,13 @@ def sorted_match_stats(
         return _sorted_match_stats_pallas(
             table, probe_keys, allow_negative, tile_log
         )
+    if (
+        kernel_ok
+        and table.wide_ok
+        and not allow_negative
+        and table.keys.shape[0] > 0
+    ):
+        return _sorted_match_stats_pallas_wide(table, probe_keys, tile_log)
     m = table.keys.shape[0]
     mult_sorted, psum_sorted, srow, is_build = _merged_stats(
         table, probe_keys, allow_negative
@@ -321,6 +408,11 @@ def sorted_match_stats(
     packed_s, psum = jax.lax.sort([packed, psum_sorted], num_keys=1)
     mult = (packed_s[m:] & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
     return MatchStats(mult=mult, psum=psum[m:])
+
+
+# Tuning hook: force the count-side ladder's skipped-level count (the
+# 0.8*n/m heuristic otherwise); probe scripts sweep it on chip.
+SKIP_LEVELS_OVERRIDE: int | None = None
 
 
 def _count_side_bc(p32: jax.Array, b32: jax.Array, m: int) -> jax.Array:
@@ -357,6 +449,8 @@ def _count_side_bc(p32: jax.Array, b32: jax.Array, m: int) -> jax.Array:
     n_levels_full = max(nt - 1, 0).bit_length()
     target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
     skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    if SKIP_LEVELS_OVERRIDE is not None:  # tuning hook (probe scripts)
+        skip = min(n_levels_full, max(0, SKIP_LEVELS_OVERRIDE))
     cap = n_levels_full - skip
     abuf = bs._sort_padded_buf(
         p32, bs.TILE_LOG, bs.CHUNK_LOG, n_levels_cap=cap
@@ -408,6 +502,10 @@ def rank_table(table: SortedTable) -> SortedTable:
         pack32=table.pack32,
         pay32=m < 2**31,
         max_mult=table.max_mult,
+        span62=table.span62,
+        # index payloads are 0..m-1 (non-negative, i32): the twin stays
+        # wide-eligible whenever the key span allows it
+        wide_ok=table.span62 and m < 2**31,
     )
 
 
@@ -563,6 +661,29 @@ def sorted_match_totals(
 
     # remaining branches mix probe keys with int64 operands
     probe_keys = probe_keys.astype(jnp.int64)
+
+    if kernel_ok and table.wide_ok and not allow_negative and m > 0:
+        # WIDE key domain (span > 2^30, < 2^62): probe-only 2-plane
+        # limb-key Pallas sort + limb merge with the pre-sorted build
+        # stream + the fused tagged-limb scan — no unsort (totals are
+        # order-invariant). The fallback below would pay the 2-operand
+        # stable int64 lax.sort (~8x the i32 stage cost, PERF_NOTES).
+        from ccve_tpu.kernels import pairsort as ps
+
+        b64, p64 = _pack64_streams(table, probe_keys)
+        sp_k, _ = ps.pallas_sort_multi_i64(p64, [])
+        sk64, (sval,) = ps.merge_sorted_multi_i64(
+            sp_k,
+            [jnp.zeros(n, jnp.int32)],
+            b64,
+            [table.payloads.astype(jnp.int32)],
+        )
+        from ccve_tpu.kernels.merge_scan import merge_scan_stats
+
+        is_build = (sk64 & 1) == 0
+        st64 = jnp.where(is_build, sval.astype(jnp.int64) * 2 + 1, 0)
+        mult, psum = merge_scan_stats(sk64 >> 1, st64)
+        return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
 
     if table.pack is not None and not allow_negative:
         # ONE-operand sort: (key', payload-or-tag) packed into an int64.

@@ -93,3 +93,54 @@ def test_merge_sorted_multi():
             ).tolist()
         }
         assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# 64-bit limb-key sort (wide key domains)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [5000, 16384, 16385])
+def test_pairsort64_random_wide_span(n):
+    """int64 keys spanning ~2^40 with a cargo plane: sorted order must
+    match numpy, and each cargo value must stay attached to its key."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.pairsort import pallas_sort_multi_i64
+
+    rng = np.random.default_rng(42)
+    keys = rng.integers(-(2**40), 2**40, n, dtype=np.int64)
+    vals = np.arange(n, dtype=np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        sk, (sv,) = pallas_sort_multi_i64(
+            jnp.asarray(keys), [jnp.asarray(vals)], tile_log=10
+        )
+    sk, sv = np.asarray(sk), np.asarray(sv)
+    assert np.array_equal(sk, np.sort(keys))
+    # pairing: the value must point back at an equal key
+    assert np.array_equal(keys[sv], sk)
+
+
+@pytest.mark.slow
+def test_merge_sorted64_unequal():
+    from ccve_tpu.kernels.pairsort import merge_sorted_multi_i64
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    a = np.sort(rng.integers(-(2**50), 2**50, 9000, dtype=np.int64))
+    b = np.sort(rng.integers(-(2**50), 2**50, 1500, dtype=np.int64))
+    av = np.arange(9000, dtype=np.int32)
+    bv = np.arange(1500, dtype=np.int32) + 100_000
+    with pltpu.force_tpu_interpret_mode():
+        mk, (mv,) = merge_sorted_multi_i64(
+            jnp.asarray(a), [jnp.asarray(av)],
+            jnp.asarray(b), [jnp.asarray(bv)], tile_log=10,
+        )
+    mk, mv = np.asarray(mk), np.asarray(mv)
+    assert np.array_equal(mk, np.sort(np.concatenate([a, b])))
+    both = np.concatenate([a, b])
+    vals = np.concatenate([av, bv])
+    # pairing: each merged value plane entry maps to an equal key
+    lookup = dict(zip(vals.tolist(), both.tolist()))
+    assert all(lookup[int(v)] == int(k) for v, k in zip(mv, mk))

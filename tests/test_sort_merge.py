@@ -9,7 +9,13 @@ from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table, gen_zipf_keys
 from ccve_tpu.exec.bulk import bulk_count, lp_match_stats
 from ccve_tpu.exec.oracle import OracleBuildTable, oracle_pipeline
 from ccve_tpu.ops.hash_table import build_lp
-from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_stats
+from ccve_tpu.ops.sort_merge import (
+    build_sorted,
+    rank_table,
+    sorted_match_ranks,
+    sorted_match_stats,
+    sorted_match_totals,
+)
 
 
 @pytest.mark.parametrize("chunk_factor", [1, 3])
@@ -396,3 +402,74 @@ def test_sorted_match_ranks():
         assert np.array_equal(mult, e_mult), (m, dom, n)
         live = e_mult > 0
         assert np.array_equal(start[live], e_start[live]), (m, dom, n)
+
+
+# ---------------------------------------------------------------------------
+# Wide key domains (span > 2^30): 2-plane limb-key Pallas paths
+# ---------------------------------------------------------------------------
+
+
+def _wide_setup(m=3000, n=9000, span=2**40, seed=3):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(-span, span, m, dtype=np.int64)
+    keys = np.concatenate([keys, keys[: m // 4]])  # duplicates
+    payloads = rng.integers(0, 2**30, keys.shape[0], dtype=np.int64)
+    table = build_sorted(keys, payloads)
+    probes = np.concatenate(
+        [
+            rng.choice(keys, n - 200),
+            rng.integers(-2 * span, 2 * span, 200, dtype=np.int64),
+        ]
+    )
+    rng.shuffle(probes)
+    return table, jnp.asarray(probes), keys, payloads, probes
+
+
+@pytest.mark.slow
+def test_sorted_stats_wide_pallas_matches_xla():
+    """>2^30-span int64 keys: the limb-key Pallas stats path must agree
+    exactly with the XLA fallback (and both with brute force)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    table, probes_d, keys, payloads, probes = _wide_setup()
+    assert table.pack32 is None and table.wide_ok
+    ref = sorted_match_stats(table, probes_d, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = sorted_match_stats(table, probes_d, use_kernel=True)
+    assert np.array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    assert np.array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+    # brute force spot-check
+    for i in [0, 7, 1000, len(probes) - 1]:
+        match = keys == probes[i]
+        assert int(got.mult[i]) == int(match.sum())
+        assert int(got.psum[i]) == int(payloads[match].sum())
+
+
+@pytest.mark.slow
+def test_sorted_totals_wide_pallas_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    table, probes_d, keys, payloads, probes = _wide_setup(seed=11)
+    c_ref, p_ref = sorted_match_totals(table, probes_d, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        c, p = sorted_match_totals(table, probes_d, use_kernel=True)
+    assert int(c) == int(c_ref)
+    assert int(p) == int(p_ref)
+
+
+@pytest.mark.slow
+def test_sorted_ranks_wide_pallas():
+    """The executor's rank pass on a wide-key table: the rank twin stays
+    wide-eligible and (mult, start) match the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    table, probes_d, keys, payloads, probes = _wide_setup(seed=5)
+    rt = rank_table(table)
+    assert rt.wide_ok
+    m_ref, s_ref = sorted_match_ranks(rt, probes_d, use_kernel=False)
+    with pltpu.force_tpu_interpret_mode():
+        m_got, s_got = sorted_match_ranks(rt, probes_d, use_kernel=True)
+    m_ref, s_ref = np.asarray(m_ref), np.asarray(s_ref)
+    m_got, s_got = np.asarray(m_got), np.asarray(s_got)
+    assert np.array_equal(m_got, m_ref)
+    assert np.array_equal(s_got[m_got > 0], s_ref[m_ref > 0])

@@ -358,3 +358,81 @@ def test_sorted_pipeline_count_collapse(strategy):
     counting = SortedPipeline(tables, cfg2, use_kernel=False)
     r2 = counting.run(probe)
     assert r2["count"] == expected.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused per-segment drain kernel (kernels/drain.py), interpret mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        CompactionStrategy.NONE,
+        CompactionStrategy.FULL,
+        CompactionStrategy.BINARY,
+    ],
+)
+@pytest.mark.parametrize("n_joins,chunk_factor", [(1, 1), (2, 2), (3, 1)])
+def test_fused_drain_count_matches_oracle(strategy, n_joins, chunk_factor):
+    """Count-only runs take the fused drain (one pallas_call per
+    segment, caches in VMEM scratch); the count must equal the oracle's
+    row count exactly, and the XLA drain's, for every strategy."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=n_joins, lhs=700, rhs=96, chunk_factor=chunk_factor,
+        strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(cfg, collect_tuples=False)
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    assert pipe._fused_drain_ok, "fused drain must be eligible here"
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+    # cross-check vs the unfused path (same pipeline semantics)
+    pipe2 = SortedPipeline(tables, cfg, use_kernel=False)
+    pipe2._fused_drain_ok = False
+    out2 = pipe2.run(probe)
+    assert out2["count"] == expected.shape[0]
+
+
+def test_fused_drain_prefilter_and_uneven_tail():
+    """Prefilter masking + a last chunk with count < block must flow
+    through the fused drain correctly."""
+    from ccve_tpu.ops import filter as flt
+
+    cfg, probe, tables, _ = _setup(
+        n_joins=1, lhs=701, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(cfg, collect_tuples=False)
+    kept = probe[probe[:, 0] % 3 == 0]
+    expected = oracle_pipeline(
+        kept,
+        [OracleBuildTable(np.asarray(tables[0].keys),
+                          np.asarray(tables[0].payloads))],
+        PayloadMode.REFERENCE,
+    )
+    pipe = SortedPipeline(
+        tables, cfg, prefilter=flt.mod_eq(3, 0), interpret=True
+    )
+    assert pipe._fused_drain_ok
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+
+
+def test_fused_drain_device_dynamic_count():
+    """DYNAMIC with the on-device tuner rides the fused drain (traced
+    thresholds + in-kernel work counters) — counts stay oracle-exact."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=900, rhs=96, chunk_factor=1,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(
+        cfg, collect_tuples=False, device_tuner=True,
+        tuner_segment_chunks=2,
+    )
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    assert pipe._fused_drain_ok
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
