@@ -48,7 +48,10 @@ class MatchStats(NamedTuple):
 
 
 def lp_match_stats(
-    table: LPTable, keys: jax.Array, compact_lanes: bool | None = None
+    table: LPTable,
+    keys: jax.Array,
+    compact_lanes: bool | None = None,
+    pallas_compact: bool | None = None,
 ) -> MatchStats:
     """Drain the LP chain of every key: advance until the first EMPTY slot
     per lane (linear_probing_ht.cpp:60-115).
@@ -116,6 +119,15 @@ def lp_match_stats(
     cap = n
     floor = max(n // 16, 16384)
     overflowed = jnp.asarray(False)
+    # The survivor compaction between stages is the Pallas butterfly/
+    # ring kernel on TPU (kernels/compact.py, ~0.5 ns/row) — the XLA
+    # cumsum + 3-scatter form it replaces ran at TPU scatter speed
+    # (~81M elem/s) and dominated the drain (PERF_NOTES round-4).
+    use_pallas_compact = (
+        (jax.default_backend() != "cpu" if pallas_compact is None
+         else pallas_compact)
+        and n % 128 == 0
+    )
     # Halving caps with a floor: LP occupancy clusters into runs, so
     # survivor counts decay much slower than the 4x independent-slot
     # estimate — 4x caps overflow at stage 2+ in practice (measured: the
@@ -123,15 +135,45 @@ def lp_match_stats(
     # margin at 25% load; the floor bounds the number of flush scatters.
     while cap > floor:
         new_cap = max(cap // 2, floor)
-        pos = jnp.cumsum(live_c.astype(jnp.int32)) - 1
-        n_live = pos[-1] + 1
-        overflowed = overflowed | (n_live > new_cap)
-        scatter_pos = jnp.where(live_c, jnp.minimum(pos, new_cap - 1), new_cap)
-        keys_c = jnp.zeros(new_cap, jnp.int64).at[scatter_pos].set(keys_c, mode="drop")
-        cursor_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(cursor_c, mode="drop")
-        idx_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(idx_c, mode="drop")
+        if use_pallas_compact:
+            from ccve_tpu.kernels.compact import pallas_compact_i32
+
+            u = keys_c.astype(jnp.uint64)
+            planes = jnp.stack(
+                [
+                    (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                    .astype(jnp.int32),
+                    (u >> jnp.uint64(32)).astype(jnp.uint32)
+                    .astype(jnp.int32),
+                    cursor_c,
+                    idx_c,
+                ]
+            )
+            out, n_live = pallas_compact_i32(planes, live_c)
+            overflowed = overflowed | (n_live > new_cap)
+            klo = out[0, :new_cap].astype(jnp.uint32).astype(jnp.uint64)
+            khi = out[1, :new_cap].astype(jnp.uint32).astype(jnp.uint64)
+            keys_c = (klo | (khi << jnp.uint64(32))).astype(jnp.int64)
+            cursor_c = out[2, :new_cap]
+            idx_c = out[3, :new_cap]
+        else:
+            pos = jnp.cumsum(live_c.astype(jnp.int32)) - 1
+            n_live = pos[-1] + 1
+            overflowed = overflowed | (n_live > new_cap)
+            scatter_pos = jnp.where(
+                live_c, jnp.minimum(pos, new_cap - 1), new_cap
+            )
+            keys_c = jnp.zeros(new_cap, jnp.int64).at[scatter_pos].set(
+                keys_c, mode="drop"
+            )
+            cursor_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(
+                cursor_c, mode="drop"
+            )
+            idx_c = jnp.zeros(new_cap, jnp.int32).at[scatter_pos].set(
+                idx_c, mode="drop"
+            )
         lane = jnp.arange(new_cap, dtype=jnp.int32)
-        live_c = lane < n_live
+        live_c = lane < jnp.minimum(n_live, new_cap)
         cap = new_cap
 
         hit, payc, live_c, cursor_c = step(keys_c, cursor_c, live_c)

@@ -839,6 +839,20 @@ class JoinPipeline:
         seg = segment_chunks or cfg.tuner_segment_chunks
 
         dynamic = cfg.strategy is CompactionStrategy.DYNAMIC
+        if (
+            preload
+            and not dynamic
+            and not zebra_profile
+            and segment_chunks is None
+        ):
+            # STATIC preloaded runs have no host decision between
+            # segments (no tuner arm picks, no per-segment syncs) —
+            # segmenting only multiplies relay dispatch latency (~15 ms
+            # each through the axon tunnel; a 62-segment config-3 run
+            # was dispatch-bound, round-4 measurement). One dispatch
+            # carries the whole stream; streamed runs keep segments to
+            # overlap H2D upload with compute.
+            seg = n_chunks
         if dynamic:
             tuner = tuner or CompactTuner()
             if tuner.bandit_size() < self.n_levels:

@@ -93,3 +93,27 @@ def test_bulk_variant_tiled_matches_whole():
     whole = run_bulk_variant(lp, kd, "w")
     tiled = run_bulk_variant(lp, kd, "t", tile_rows=1 << 10)
     assert whole.tuples == tiled.tuples
+
+
+@pytest.mark.slow
+def test_lp_match_stats_pallas_compact_ladder():
+    """The TPU drain's Pallas-compaction ladder (interpret mode) must
+    agree exactly with the XLA ladder and the full-width reference."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+    from ccve_tpu.exec.bulk import lp_match_stats
+    from ccve_tpu.ops.hash_table import build_lp
+
+    keys, payloads = gen_rhs_table(2048, 2)
+    table = build_lp(keys, payloads)
+    probe = gen_probe_table(1 << 17, 1, 2048)[:, 0]
+    p = jnp.asarray(probe)
+    ref = lp_match_stats(table, p, compact_lanes=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = lp_match_stats(
+            table, p, compact_lanes=True, pallas_compact=True
+        )
+    assert np.array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    assert np.array_equal(np.asarray(got.psum), np.asarray(ref.psum))
