@@ -176,6 +176,30 @@ class SortedPipeline(JoinPipeline):
 
     # ------------------------------------------------------------------
 
+    def _seg_mults(self, chunk_cols: jax.Array) -> jax.Array:
+        """Mult planes i32[S, n_levels, block] for the FUSED drain: the
+        same grouped rank passes as `_seg_ranks`, but the kernel only
+        consumes multiplicities, so the (mult << 32 | start) int64 pack
+        — ~9 ms of emulated-int64 shift/cast at config-3 scale, measured
+        round-4 — never happens on this path."""
+        S, _, B = chunk_cols.shape
+        groups: dict[int, list[int]] = {}
+        for lvl in range(self.n_levels):
+            groups.setdefault(id(self.tables[lvl]), []).append(lvl)
+        out: list = [None] * self.n_levels
+        per = S * B
+        for lvls in groups.values():
+            flat = chunk_cols[:, lvls, :].transpose(1, 0, 2).reshape(
+                len(lvls) * per
+            )
+            mult, _ = sorted_match_ranks(
+                self._rank_tables[lvls[0]], flat,
+                use_kernel=self.use_kernel,
+            )
+            for i, lvl in enumerate(lvls):
+                out[lvl] = mult[i * per : (i + 1) * per].reshape(S, B)
+        return jnp.stack(out, axis=1)
+
     def _seg_ranks(self, chunk_cols: jax.Array) -> jax.Array:
         """Batched rank precompute for one segment of chunks.
 
@@ -442,10 +466,7 @@ class SortedPipeline(JoinPipeline):
 
         S, _, B = chunk_cols.shape
         L = self.n_levels
-        seg_ranks = self._seg_ranks(chunk_cols)  # [S, L, B] i64
-        mults = jax.lax.shift_right_logical(seg_ranks, 32).astype(
-            jnp.int32
-        )
+        mults = self._seg_mults(chunk_cols)  # [S, L, B] i32, no pack
         if self.prefilter is not None:
             keep0 = self.prefilter(chunk_cols[:, self.prefilter_col, :])
             mults = mults.at[:, 0, :].set(
