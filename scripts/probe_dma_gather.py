@@ -62,18 +62,26 @@ def dma_bench(table, rows_idx, depth: int, line_rows: int,
         for j in range(depth):
             dma(j, j).start()
 
-        def body(j, acc):
-            slot = j & (depth - 1)
-            dma(j, slot).wait()
-            v = ring[slot, 0, 0]
+        # UNROLL keys per fori iteration: the round-4 measurement showed
+        # the serial loop BODY (~230 ns/iter at unroll 1) is the floor,
+        # not DMA bandwidth — unrolling amortizes loop/branch overhead
+        U = min(8, depth)
 
-            @pl.when(j + depth < T)
-            def _():
-                dma(j + depth, slot).start()
+        def body(jj, acc):
+            j0 = jj * U
+            for u in range(U):
+                j = j0 + u
+                slot_p = (j + depth) & (depth - 1)  # == j's slot
+                dma(j, slot_p).wait()
+                acc = acc + ring[slot_p, 0, 0]
 
-            return acc + v
+                @pl.when(j + depth < T)
+                def _():
+                    dma(j + depth, slot_p).start()
 
-        acc = jax.lax.fori_loop(0, T, body, jnp.int32(0))
+            return acc
+
+        acc = jax.lax.fori_loop(0, T // U, body, jnp.int32(0))
         acc_s[0] = acc_s[0] + acc
 
         @pl.when(t == pl.num_programs(0) - 1)
@@ -120,7 +128,7 @@ table = jnp.asarray(
     rng.integers(0, 2**31 - 1, (TABLE_ROWS, 128), dtype=np.int32)
 )
 
-N = 1 << 19  # fetches per dispatch
+N = 1 << 17  # fetches per dispatch (prefetch rides SMEM: <=512 KB)
 results = {}
 for line_rows in (1, 2):
     idx = jnp.asarray(

@@ -1,0 +1,104 @@
+"""Round-4 canonical sorted-executor artifacts: config-2/3 geometry,
+fused drain + i32 mult planes + single-dispatch statics, measured in
+the SAME session as the bulk reference (ratios beat absolute numbers
+through the relay). Best-of-5 preloaded.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 5000 \
+       python -u scripts/probe_r4_canonical.py
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccve_tpu.config import CompactionStrategy, EngineConfig, PayloadMode
+from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
+from ccve_tpu.exec.bulk import bulk_count
+from ccve_tpu.exec.sorted_pipeline import SortedPipeline
+from ccve_tpu.ops import filter as flt
+from ccve_tpu.ops.sort_merge import build_sorted
+
+print("devices:", jax.devices(), flush=True)
+res = {}
+
+# ---- config 2 geometry -------------------------------------------------
+lhs, rhs, block = 1_000_000, 100_000, 2048
+probe2 = gen_probe_table(lhs, 1, rhs)
+k2, p2 = gen_rhs_table(rhs, 2)
+st2 = build_sorted(k2, p2)
+cfg2 = EngineConfig(
+    block_size=block, n_joins=1, lhs_size=lhs, rhs_size=rhs,
+    chunk_factor=2, strategy=CompactionStrategy.FULL,
+    payload_mode=PayloadMode.REFERENCE,
+)
+pipe2 = SortedPipeline([st2], cfg2, prefilter=flt.mod_eq(10, 0))
+r = pipe2.run(probe2, preload=True)
+best = r["seconds"]
+cnt2 = r["count"]
+for _ in range(4):
+    r = pipe2.run(probe2, preload=True)
+    assert r["count"] == cnt2
+    best = min(best, r["seconds"])
+res["c2_sorted_full"] = {"s": round(best, 4),
+                         "rows_per_s_M": round(lhs / best / 1e6, 1)}
+print("c2 sorted FULL:", res["c2_sorted_full"], flush=True)
+
+# ---- config 3 geometry -------------------------------------------------
+lhs3, rhs3 = 1_000_000, 50_000
+probe3 = gen_probe_table(lhs3, 4, 2 * rhs3)
+k3, p3 = gen_rhs_table(rhs3, 1)
+st3 = build_sorted(k3, p3)
+stables = [st3] * 4
+
+pd3 = jax.device_put(jnp.asarray(probe3))
+NITER = 16
+
+
+@jax.jit
+def bulk_loop(p):
+    def body(_, acc):
+        bias = jnp.where(acc < 0, 1, 0).astype(p.dtype)
+        return acc + bulk_count(stables, p + bias).count
+
+    return jax.lax.fori_loop(0, NITER, body, jnp.int64(0))
+
+
+tot = int(bulk_loop(pd3))
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    int(bulk_loop(pd3))
+    best = min(best, time.perf_counter() - t0)
+bulk_s = best / NITER
+res["c3_bulk_sustained"] = {"s": round(bulk_s, 4),
+                            "rows_per_s_M": round(lhs3 / bulk_s / 1e6, 1)}
+print("c3 bulk:", res["c3_bulk_sustained"], flush=True)
+
+for strat, name in (
+    (CompactionStrategy.FULL, "c3_sorted_full"),
+    (CompactionStrategy.NONE, "c3_sorted_none"),
+):
+    cfg3 = EngineConfig(
+        block_size=block, n_joins=4, lhs_size=lhs3, rhs_size=rhs3,
+        strategy=strat, payload_mode=PayloadMode.REFERENCE,
+    )
+    pipe3 = SortedPipeline(stables, cfg3)
+    r = pipe3.run(probe3, preload=True)
+    cnt = r["count"]
+    assert cnt == tot // NITER, (cnt, tot // NITER)
+    best = r["seconds"]
+    for _ in range(4):
+        r = pipe3.run(probe3, preload=True)
+        assert r["count"] == cnt
+        best = min(best, r["seconds"])
+    res[name] = {
+        "s": round(best, 4),
+        "rows_per_s_M": round(lhs3 / best / 1e6, 1),
+        "x_bulk": round(best / bulk_s, 2),
+    }
+    print(name, res[name], flush=True)
+
+print(json.dumps(res), flush=True)

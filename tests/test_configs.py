@@ -72,3 +72,12 @@ def test_config6_tiny(tmp_path):
     assert r["dynamic_compaction"]["seconds"] > 0
     # counts already asserted inside; bandit history CSV written
     assert any(p.suffix == ".csv" for p in tmp_path.iterdir())
+
+
+def test_config1_materialize_tiny():
+    """Materializing axis: tuples-out with checksum + sampled-triple
+    verification (the asserts live inside the config function)."""
+    from ccve_tpu.bench.configs import config1_materialize
+
+    out = config1_materialize(n_build=4096, n_probe=65536)
+    assert out["payload_checksum_ok"] and out["tuples_out"] > 0
