@@ -805,6 +805,7 @@ class JoinPipeline:
         tuner: CompactTuner | None = None,
         preload: bool = False,
         zebra_profile: bool = False,
+        sustain: int = 0,
     ) -> dict:
         """Stream a host probe table (int64[n, n_joins]) through the
         pipeline. Returns {'count', 'rows' (if collecting), 'seconds',
@@ -962,6 +963,46 @@ class JoinPipeline:
             all_counts = jnp.asarray(counts_padded)
             # force the upload to complete outside the timed window
             np.asarray(jax.device_get(all_cols[-1, -1, -1:]))
+        if sustain:
+            # SUSTAINED serving regime (the bulk engine's methodology,
+            # bench.py): the whole run — fresh state, process, flush —
+            # chained `sustain` times in ONE device fori_loop with a
+            # data-dependent always-zero bias defeating CSE, paying the
+            # relay sync once. Only meaningful for static preloaded
+            # runs (one host decision total).
+            if not preload or dynamic or zebra_profile:
+                raise ValueError(
+                    "sustain requires preload=True and a static "
+                    "strategy without zebra_profile"
+                )
+            thr = jnp.asarray(thresholds)
+
+            @jax.jit
+            def sustained(cols, counts):
+                def body(_, acc):
+                    bias = jnp.where(acc < 0, 1, 0).astype(cols.dtype)
+                    ps = self._process_chunks(
+                        self.fresh_state(), cols + bias, counts, thr
+                    )
+                    if cfg.strategy is not CompactionStrategy.NONE:
+                        ps = self._flush_all(ps, thr)
+                    return acc + ps.result_count
+
+                return jax.lax.fori_loop(0, sustain, body, jnp.int64(0))
+
+            total = int(sustained(all_cols, all_counts))  # warm/compile
+            count = total // sustain
+            assert total == count * sustain, (total, sustain)
+            t0 = time.perf_counter()
+            int(sustained(all_cols, all_counts))
+            per_run = (time.perf_counter() - t0) / sustain
+            return {
+                "count": count,
+                "seconds": per_run,
+                "chunks": n_chunks,
+                "preloaded": True,
+                "sustained": sustain,
+            }
         t0 = time.perf_counter()
         for s0 in range(0, per, seg):
             s1 = min(s0 + seg, per)

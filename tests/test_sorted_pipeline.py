@@ -436,3 +436,18 @@ def test_fused_drain_device_dynamic_count():
     assert pipe._fused_drain_ok
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
+
+
+def test_fused_drain_sustained_mode():
+    """run(sustain=N) chains N full runs in one dispatch; per-run count
+    must equal a plain run's."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=600, rhs=96, chunk_factor=1,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(cfg, collect_tuples=False)
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    r = pipe.run(probe, preload=True, sustain=3)
+    assert r["count"] == expected.shape[0]
+    assert r["sustained"] == 3
