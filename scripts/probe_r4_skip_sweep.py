@@ -15,7 +15,6 @@ import numpy as np
 
 import ccve_tpu.ops.sort_merge as sm
 from ccve_tpu.core.datagen import gen_probe_table, gen_rhs_table
-from ccve_tpu.exec.bulk import bulk_count
 
 print("devices:", jax.devices(), flush=True)
 
@@ -23,19 +22,22 @@ N_BUILD, N_PROBE, NITER = 1_000_000, 16_000_000, 32
 keys, payloads = gen_rhs_table(N_BUILD, 1)
 probe = gen_probe_table(N_PROBE, 1, N_BUILD)
 table = sm.build_sorted(keys, payloads)
-probe_dev = jax.device_put(jnp.asarray(probe.astype(np.int32)))
+probe_dev = jax.device_put(jnp.asarray(probe.astype(np.int32)))  # [n, 1]
 expected = int((probe[:, 0] < N_BUILD).sum())
 
 results = {}
 for skip in (None, 2, 3, 4, 5):
     sm.SKIP_LEVELS_OVERRIDE = skip
 
+    # call sorted_match_totals DIRECTLY: bulk_count rides a
+    # module-level jit whose cache ignores the trace-time override
+    # (first sweep measured one program five times)
     @jax.jit
     def run_loop(p):
         def body(_, acc):
             bias = jnp.where(acc < 0, jnp.int32(1), jnp.int32(0))
-            r = bulk_count([table], p + bias)
-            return acc + r.count
+            c, chk = sm.sorted_match_totals(table, (p + bias)[:, 0])
+            return acc + c
 
         return jax.lax.fori_loop(0, NITER, body, jnp.int64(0))
 
