@@ -72,7 +72,11 @@ def _executor_entry(pipe, probe, lhs, reps=3, preloaded=True, **kw):
     (device-resident batch — the bulk engine's timing convention, which
     device_puts the probe before `_timed`) numbers for one executor.
     Through this container's ~40 MB/s H2D tunnel the streamed number is
-    feed-bound, so only the preloaded one compares against bulk."""
+    feed-bound, so only the preloaded one compares against bulk. For
+    static count-only runs a SUSTAINED number (run(sustain=N): N full
+    runs chained in one dispatch — the bulk loop's methodology, one
+    relay sync total) is added; it is the number to set against bulk's
+    sustained figures."""
     r = _best_run(pipe, probe, reps=reps, **kw)
     out = {
         "seconds": r["seconds"],
@@ -83,6 +87,19 @@ def _executor_entry(pipe, probe, lhs, reps=3, preloaded=True, **kw):
         assert rp["count"] == r["count"], (rp["count"], r["count"])
         out["preloaded_seconds"] = rp["seconds"]
         out["preloaded_rows_per_s"] = lhs / rp["seconds"]
+        if (
+            pipe.config.strategy is not CompactionStrategy.DYNAMIC
+            and pipe.capacity == 0
+        ):
+            try:
+                rs = _best_run(
+                    pipe, probe, reps=reps, preload=True, sustain=8, **kw
+                )
+                assert rs["count"] == r["count"]
+                out["sustained_seconds"] = rs["seconds"]
+                out["sustained_rows_per_s"] = lhs / rs["seconds"]
+            except ValueError:
+                pass
     return r, out
 
 
