@@ -128,8 +128,10 @@ def main() -> None:
     # cycles/key loop doesn't either, simd_micro_bench.cpp:155-186). The
     # data-dependent (always-zero) key bias defeats loop-invariant code
     # motion without changing the workload.
-    NITER = 32  # long enough that the axon relay's ~14 ms readback sync
-    # amortizes below measurement noise (it is tunnel overhead, not engine time)
+    NITER = 128  # deep enough that the axon relay's ~15-28 ms readback
+    # sync amortizes to <0.25 ms/batch (~1%); it is tunnel overhead, not
+    # engine time — at NITER=32 it still inflated per-batch time 2-4%
+    # (round-4 measurement: 22.43 ms at 32 vs ~21.9 expected at 128)
 
     @jax.jit
     def run_loop(probe):
