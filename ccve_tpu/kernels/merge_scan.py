@@ -741,3 +741,152 @@ def merge_scan_stats_packed(s: jax.Array, pay_bits: int):
     lo = ps_lo.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
     psum = ((hi << jnp.uint64(32)) | lo).astype(jnp.int64)
     return mult, psum
+
+
+# ---------------------------------------------------------------------------
+# Count-side 64-bit-key form: the wide-domain twin of
+# merge_scan_build_counts — the packed stream (key' << 1 | tag) arrives
+# as (hi, lo) i32 limb planes; runs compare on both limbs, all scans
+# and the compaction/ring machinery stay i32
+# ---------------------------------------------------------------------------
+
+_C64_PHI, _C64_PLO, _C64_CP, _C64_BASE, _C64_W, _C64_ROW = range(6)
+
+
+def _make_counts64_dense_kernel(R: int):
+    """`_make_counts32_dense_kernel` with a 2-limb key: tag = lo & 1
+    (1 = build, probes order first in a run by the pack), run identity
+    = the packed value with the tag bit cleared, compared limb-wise.
+    Everything downstream of `pcount` (butterfly compaction, VMEM ring,
+    amortized row flushes) is the i32 machinery unchanged."""
+
+    def kernel(shi_ref, slo_ref, bc_hbm, carry, ring, stage, sem):
+        i = pl.program_id(0)
+        last = pl.num_programs(0) - 1
+        tile = R * 128
+        rounds = tile.bit_length() - 1
+        ring_r = 2 * R
+
+        @pl.when(i == 0)
+        def _():
+            carry[_C64_PHI] = I32_MIN  # packed keys >= 0: run start
+            carry[_C64_PLO] = 0
+            carry[_C64_CP] = 0
+            carry[_C64_BASE] = I32_MIN
+            carry[_C64_W] = 0
+            carry[_C64_ROW] = 0
+
+        shi, slo = shi_ref[:], slo_ref[:]
+        ib = slo & 1
+        ip = 1 - ib
+        cp_local = (
+            fv.prefix_sum_i32_mxu(ip, R)
+            if R >= 32
+            else fv.prefix_sum_i32(ip, R, rounds)
+        )
+        cp = cp_local + carry[_C64_CP]
+
+        klo = slo & jnp.int32(-2)  # clear the tag bit
+        flat = fv.flat_index(R)
+        prev_hi = fv.shift_flat_right(shi, 1, R, 0)
+        prev_lo = fv.shift_flat_right(klo, 1, R, 0)
+        prev_hi = jnp.where(flat == 0, carry[_C64_PHI], prev_hi)
+        prev_lo = jnp.where(flat == 0, carry[_C64_PLO], prev_lo)
+        run_start = (shi != prev_hi) | (klo != prev_lo)
+
+        cpx = cp - ip
+        base = jnp.maximum(
+            fv.prefix_max_i32(
+                jnp.where(run_start, cpx, I32_MIN), R, rounds
+            ),
+            carry[_C64_BASE],
+        )
+        pcount = jnp.where(ib > 0, cp - base, 0)
+
+        carry[_C64_PHI] = shi[R - 1, 127]
+        carry[_C64_PLO] = klo[R - 1, 127]
+        carry[_C64_CP] = cp[R - 1, 127]
+        carry[_C64_BASE] = base[R - 1, 127]
+
+        # ---- compact + ring append + amortized flush (i32 machinery)
+        rank_b = flat + 1 - cp_local
+        k_t = tile - cp_local[R - 1, 127]
+        (cpc,) = fv.butterfly_compact([pcount], ib, R, rounds, rank=rank_b)
+
+        w = carry[_C64_W]
+        cpc2 = jnp.concatenate(
+            [cpc, jnp.zeros((ring_r - R, 128), jnp.int32)], axis=0
+        )
+        shifted = fv.shift_flat_right_dyn(cpc2, w, ring_r)
+        ring[...] = jnp.where(
+            fv.flat_index(ring_r) < w, ring[...], shifted
+        )
+        w = w + k_t
+
+        def flush():
+            stage[...] = ring[0:R]
+            copy = pltpu.make_async_copy(
+                stage, bc_hbm.at[pl.ds(carry[_C64_ROW], R), :], sem
+            )
+            copy.start()
+            copy.wait()
+            carry[_C64_ROW] = carry[_C64_ROW] + R
+
+        @pl.when(w >= tile)
+        def _():
+            flush()
+            ring[...] = pltpu.roll(ring[...], R, axis=0)
+            carry[_C64_W] = w - tile
+
+        @pl.when(w < tile)
+        def _():
+            carry[_C64_W] = w
+
+        @pl.when((i == last) & (carry[_C64_W] > 0))
+        def _():
+            flush()
+
+    return kernel
+
+
+def merge_scan_build_counts64(
+    shi: jax.Array, slo: jax.Array, m: int, R: int = _CS_R,
+    extra: int = 0, interpret: bool = False,
+):
+    """Per-build-row probe multiplicities bc int32[m] from the SORTED
+    packed-64 stream given as (hi, lo) i32 limb planes (key' << 1 | tag
+    as int64; tag 1 = build; builds appear in table order). Padding
+    (INT64_MAX: build tag, probe-less giant run) appends trailing zeros
+    sliced off by [:m]."""
+    tile = R * 128
+    n = shi.shape[0]
+    pad = (-n) % tile
+    if pad:
+        shi = jnp.concatenate(
+            [shi, jnp.full(pad, jnp.iinfo(jnp.int32).max, jnp.int32)]
+        )
+        slo = jnp.concatenate(
+            [slo, jnp.full(pad, -1, jnp.int32)]
+        )
+    rows = shi.shape[0] // 128
+    shi2 = shi.reshape(rows, 128)
+    slo2 = slo.reshape(rows, 128)
+    out_rows = -(-(m + tile + max(extra, 0)) // 128) + R
+    spec = pl.BlockSpec((R, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        bc = pl.pallas_call(
+            _make_counts64_dense_kernel(R),
+            grid=(rows // R,),
+            in_specs=[spec, spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((out_rows, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.SMEM((6,), jnp.int32),
+                pltpu.VMEM((2 * R, 128), jnp.int32),
+                pltpu.VMEM((R, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(shi2, slo2)
+    return bc.reshape(-1)[:m]

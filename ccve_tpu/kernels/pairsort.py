@@ -757,3 +757,143 @@ def merge_sorted_multi_i64(ak, avs, bk, bvs, tile_log: int = TILE_LOG):
         akh, akl, avs, bkh, bkl, bvs, tile_log
     )
     return _k64(kh, kl)[:n], tuple(v[:n] for v in vs)
+
+
+def pallas_sort_i64_limbs(keys, tile_log: int = TILE_LOG,
+                          n_levels_cap: int | None = None):
+    """Key-only 64-bit sort returning the RAW (hi, lo) limb planes —
+    callers that feed limb-consuming kernels skip the int64
+    reconstruct/re-split round trip (~an emulated-int64 pass each way).
+    With `n_levels_cap` the merge ladder stops early, leaving sorted
+    runs of 2^(tile_log + cap) — counts are additive over probe
+    sub-runs (ops/sort_merge._count_side_bc), so count-side callers
+    trade ladder levels for per-run scans. Returns (khi, klo, run_log)
+    where run_log is the sorted-run length log2 (== padded-size log
+    when fully sorted)."""
+    n = keys.shape[0]
+    tile = 1 << tile_log
+    pad = (-n) % tile
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full(pad, jnp.iinfo(jnp.int64).max, jnp.int64)]
+        )
+    n_pad = keys.shape[0]
+    nt = n_pad // tile
+    n_levels = max(nt - 1, 0).bit_length()
+    cap = n_levels if n_levels_cap is None else min(n_levels, n_levels_cap)
+    kh, kl = _split64(keys)
+    kh, kl, _ = _sort_padded_multi64_capped(kh, kl, (), tile_log, cap)
+    run_log = tile_log + cap
+    return kh, kl, run_log
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_log", "n_levels_cap")
+)
+def _sort_padded_multi64_capped(kh, kl, vs: tuple, tile_log: int,
+                                n_levels_cap: int):
+    """_sort_padded_multi64 with an early-stopped merge ladder; the
+    final executed level (if any) writes every run ASCENDING
+    (force_asc) so downstream scanners can walk runs forward."""
+    tile = 1 << tile_log
+    n_pad = kh.shape[0]
+    nt = n_pad // tile
+    rows = n_pad // 128
+    R = tile // 128
+    P = len(vs)
+
+    n_levels_full = max(nt - 1, 0).bit_length()
+    n_levels = min(n_levels_full, n_levels_cap)
+    alt = n_levels_full > 0  # orientation scheme fixed by the presort
+
+    ykh = kh.reshape(rows, 128)
+    ykl = kl.reshape(rows, 128)
+    yvs = [v.reshape(rows, 128) for v in vs]
+    with jax.enable_x64(False):
+        spec = pl.BlockSpec((R, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+        outs = pl.pallas_call(
+            _make_local_kernel_multi64(tile_log, P, alt and n_levels > 0),
+            grid=(nt,),
+            in_specs=[spec] * (2 + P),
+            out_specs=[spec] * (2 + P),
+            out_shape=[shape] * (2 + P),
+            compiler_params=_VMEM_BIG,
+        )(ykh, ykl, *yvs)
+        ykh, ykl, yvs = outs[0], outs[1], list(outs[2:])
+
+    Rw = R + 8
+    if n_levels:
+        ykh = jnp.concatenate(
+            [ykh, jnp.full((2 * R, 128), I32_MAX, jnp.int32)], axis=0
+        )
+        ykl = jnp.concatenate(
+            [ykl, jnp.full((2 * R, 128), _LO_MAX, jnp.int32)], axis=0
+        )
+        yvs = [
+            jnp.concatenate([v, jnp.zeros((2 * R, 128), jnp.int32)],
+                            axis=0)
+            for v in yvs
+        ]
+    merge_kernel = _make_merge_kernel_multi64(
+        tile_log, rows + R - 8, P, n_real=nt
+    )
+    pad2 = jnp.zeros(2, jnp.int32)
+    for lvl in range(n_levels):
+        run_log = tile_log + lvl
+        force_asc = lvl == n_levels - 1
+        splits = _merge_splits_alt(
+            _k64(ykh, ykl).reshape(-1), run_log, nt, tile_log, n_pad,
+            force_asc=force_asc,
+        )
+        with jax.enable_x64(False):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(nt + 2,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + P),
+                out_specs=[
+                    pl.BlockSpec(
+                        (R, 128), lambda t, *_: (t, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                * (2 + P),
+                scratch_shapes=(
+                    [pltpu.VMEM((Rw, 128), jnp.int32)] * (2 * (2 + P))
+                    + [pltpu.SemaphoreType.DMA] * (2 * (2 + P))
+                ),
+            )
+            outs = pl.pallas_call(
+                merge_kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows + 2 * R, 128), jnp.int32)
+                ]
+                * (2 + P),
+                compiler_params=_VMEM_BIG,
+            )(*(jnp.concatenate([s, pad2]) for s in splits),
+              ykh, ykl, *yvs)
+            ykh, ykl, yvs = outs[0], outs[1], list(outs[2:])
+
+    flat_kh = ykh.reshape(-1)[:n_pad]
+    flat_kl = ykl.reshape(-1)[:n_pad]
+    return flat_kh, flat_kl, tuple(v.reshape(-1)[:n_pad] for v in yvs)
+
+
+def merge_sorted_i64_limbs(akh, akl, bk, tile_log: int = TILE_LOG):
+    """Key-only unequal merge of an ASCENDING limb-plane stream (A) with
+    an ASCENDING int64 stream (B, the small side — flipped internally),
+    returning limb planes. Ties: A first."""
+    nA, nB = akh.shape[0], bk.shape[0]
+    n = nA + nB
+    bkh, bkl = _split64(bk)
+    if n <= (1 << tile_log) or nA == 0 or nB == 0:
+        out = jax.lax.sort([jnp.concatenate([_k64(akh, akl), bk])],
+                           num_keys=1)[0]
+        oh, ol = _split64(out)
+        return oh, ol
+    kh, kl, _ = _merge_two_padded_multi64(
+        akh, akl, (), bkh, bkl, (), tile_log
+    )
+    return kh[:n], kl[:n]

@@ -415,6 +415,59 @@ def sorted_match_stats(
 SKIP_LEVELS_OVERRIDE: int | None = None
 
 
+def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
+                     interpret: bool = False,
+                     tile_log: int | None = None) -> jax.Array:
+    """`_count_side_bc` for WIDE key domains: packed-64 streams (p64 =
+    key'<<1 probes, b64 = (key'<<1)|1 builds, builds pre-sorted) ride
+    the (hi, lo) limb-plane sort machinery (kernels/pairsort
+    `pallas_sort_i64_limbs`) with the SAME early-stopped ladder, and
+    each sorted probe sub-run merges against the build stream
+    (`merge_sorted_i64_limbs`) before the 64-bit counts kernel scans it
+    — counts are additive over sub-runs."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_build_counts64
+
+    n = p64.shape[0]
+    tile_log = bs.TILE_LOG if tile_log is None else tile_log
+    tile = 1 << tile_log
+    if n <= tile:
+        sk = jax.lax.sort(
+            [jnp.concatenate([p64, b64])], num_keys=1
+        )[0]
+        shi = (sk >> 32).astype(jnp.int32)
+        slo = sk.astype(jnp.int32)
+        return merge_scan_build_counts64(
+            shi, slo, m, interpret=interpret
+        )
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    n_levels_full = max(nt - 1, 0).bit_length()
+    target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
+    skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    if SKIP_LEVELS_OVERRIDE is not None:
+        skip = min(n_levels_full, max(0, SKIP_LEVELS_OVERRIDE))
+    cap = n_levels_full - skip
+    khi, klo, run_log = ps.pallas_sort_i64_limbs(
+        p64, tile_log=tile_log, n_levels_cap=cap
+    )
+    run = 1 << run_log
+    n_runs = -(-n_pad // run)
+    bc = None
+    for r in range(n_runs):
+        off = r * run
+        ln = min(run, n_pad - off)
+        mh, ml = ps.merge_sorted_i64_limbs(
+            khi[off : off + ln], klo[off : off + ln], b64
+        )
+        bc_r = merge_scan_build_counts64(
+            mh, ml, m, extra=ln, interpret=interpret
+        )
+        bc = bc_r if bc is None else bc + bc_r
+    return bc
+
+
 def _count_side_bc(p32: jax.Array, b32: jax.Array, m: int) -> jax.Array:
     """Dense per-build-row probe counts bc i32[m] from packed i32
     streams (p32 = key'<<1 probes, b32 = (key'<<1)|1 builds, build
@@ -663,27 +716,20 @@ def sorted_match_totals(
     probe_keys = probe_keys.astype(jnp.int64)
 
     if kernel_ok and table.wide_ok and not allow_negative and m > 0:
-        # WIDE key domain (span > 2^30, < 2^62): probe-only 2-plane
-        # limb-key Pallas sort + limb merge with the pre-sorted build
-        # stream + the fused tagged-limb scan — no unsort (totals are
-        # order-invariant). The fallback below would pay the 2-operand
-        # stable int64 lax.sort (~8x the i32 stage cost, PERF_NOTES).
-        from ccve_tpu.kernels import pairsort as ps
-
-        b64, p64 = _pack64_streams(table, probe_keys)
-        sp_k, _ = ps.pallas_sort_multi_i64(p64, [])
-        sk64, (sval,) = ps.merge_sorted_multi_i64(
-            sp_k,
-            [jnp.zeros(n, jnp.int32)],
-            b64,
-            [table.payloads.astype(jnp.int32)],
-        )
-        from ccve_tpu.kernels.merge_scan import merge_scan_stats
-
-        is_build = (sk64 & 1) == 0
-        st64 = jnp.where(is_build, sval.astype(jnp.int64) * 2 + 1, 0)
-        mult, psum = merge_scan_stats(sk64 >> 1, st64)
-        return jnp.sum(mult.astype(jnp.int64)), jnp.sum(psum)
+        # WIDE key domain (span > 2^30, < 2^62): the same count-side
+        # formulation as the packed-i32 path — probe-only limb-key sort
+        # with the EARLY-STOPPED ladder, per-run limb merges against the
+        # pre-sorted build stream, dense per-build-row counts from the
+        # 64-bit counts kernel, psum = dot(bc, payloads). No payloads
+        # in the sort, no unsort. (The fallback below would pay the
+        # 2-operand stable int64 lax.sort — ~8x the i32 stage cost.)
+        key_lo = table.keys[0] - 1
+        key_hi = table.keys[-1] + 1
+        b64 = ((table.keys - key_lo) << 1) | 1
+        pcl = jnp.clip(probe_keys, key_lo, key_hi)
+        p64 = (pcl - key_lo) << 1
+        bc = _count_side_bc64(p64, b64, m).astype(jnp.int64)
+        return jnp.sum(bc), jnp.sum(bc * table.payloads)
 
     if table.pack is not None and not allow_negative:
         # ONE-operand sort: (key', payload-or-tag) packed into an int64.
