@@ -564,87 +564,14 @@ def _k64(kh, kl):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile_log",))
 def _sort_padded_multi64(kh, kl, vs: tuple, tile_log: int):
+    """Full 64-bit limb-key sort: the capped driver at full ladder
+    depth (the final level's force_asc is a no-op there — one run
+    remains, written ascending either way)."""
     tile = 1 << tile_log
-    n_pad = kh.shape[0]
-    nt = n_pad // tile
-    rows = n_pad // 128
-    R = tile // 128
-    P = len(vs)
-
-    n_levels = max(nt - 1, 0).bit_length()
-    alt = n_levels > 0
-
-    ykh = kh.reshape(rows, 128)
-    ykl = kl.reshape(rows, 128)
-    yvs = [v.reshape(rows, 128) for v in vs]
-    with jax.enable_x64(False):
-        spec = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
-        outs = pl.pallas_call(
-            _make_local_kernel_multi64(tile_log, P, alt),
-            grid=(nt,),
-            in_specs=[spec] * (2 + P),
-            out_specs=[spec] * (2 + P),
-            out_shape=[shape] * (2 + P),
-            compiler_params=_VMEM_BIG,
-        )(ykh, ykl, *yvs)
-        ykh, ykl, yvs = outs[0], outs[1], list(outs[2:])
-
-    Rw = R + 8
-    if n_levels:
-        ykh = jnp.concatenate(
-            [ykh, jnp.full((2 * R, 128), I32_MAX, jnp.int32)], axis=0
-        )
-        ykl = jnp.concatenate(
-            [ykl, jnp.full((2 * R, 128), _LO_MAX, jnp.int32)], axis=0
-        )
-        yvs = [
-            jnp.concatenate([v, jnp.zeros((2 * R, 128), jnp.int32)], axis=0)
-            for v in yvs
-        ]
-    merge_kernel = _make_merge_kernel_multi64(
-        tile_log, rows + R - 8, P, n_real=nt
-    )
-    pad2 = jnp.zeros(2, jnp.int32)
-    for lvl in range(n_levels):
-        run_log = tile_log + lvl
-        splits = _merge_splits_alt(
-            _k64(ykh, ykl).reshape(-1), run_log, nt, tile_log, n_pad
-        )
-        with jax.enable_x64(False):
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
-                grid=(nt + 2,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + P),
-                out_specs=[
-                    pl.BlockSpec(
-                        (R, 128), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
-                    )
-                ]
-                * (2 + P),
-                scratch_shapes=(
-                    [pltpu.VMEM((Rw, 128), jnp.int32)] * (2 * (2 + P))
-                    + [pltpu.SemaphoreType.DMA] * (2 * (2 + P))
-                ),
-            )
-            outs = pl.pallas_call(
-                merge_kernel,
-                grid_spec=grid_spec,
-                out_shape=[
-                    jax.ShapeDtypeStruct((rows + 2 * R, 128), jnp.int32)
-                ]
-                * (2 + P),
-                compiler_params=_VMEM_BIG,
-            )(*(jnp.concatenate([s, pad2]) for s in splits), ykh, ykl, *yvs)
-            ykh, ykl, yvs = outs[0], outs[1], list(outs[2:])
-
-    return (
-        ykh.reshape(-1)[:n_pad],
-        ykl.reshape(-1)[:n_pad],
-        tuple(v.reshape(-1)[:n_pad] for v in yvs),
-    )
+    nt = kh.shape[0] // tile
+    full = max(nt - 1, 0).bit_length()
+    return _sort_padded_multi64_capped(kh, kl, vs, tile_log, full)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_log",))
