@@ -451,3 +451,25 @@ def test_fused_drain_sustained_mode():
     r = pipe.run(probe, preload=True, sustain=3)
     assert r["count"] == expected.shape[0]
     assert r["sustained"] == 3
+
+
+@pytest.mark.parametrize("threshold_frac", [2, 4])
+def test_fused_drain_cache_split_paths(threshold_frac):
+    """Force the compactor's cache-overflow SPLIT inside the fused
+    kernel (emit the filled cache, keep the remainder): mid thresholds
+    + fanout 2 produce emissions of varying size that repeatedly fill
+    and split the cache. Counts must stay oracle-exact."""
+    block = 128
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=1500, rhs=64, chunk_factor=2,
+        strategy=CompactionStrategy.FULL,
+        payload_mode=PayloadMode.REFERENCE, block=block,
+    )
+    cfg = dataclasses.replace(
+        cfg, collect_tuples=False,
+        compact_threshold_per_level=(block // threshold_frac,) * 2,
+    )
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    assert pipe._fused_drain_ok
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
