@@ -473,3 +473,57 @@ def test_fused_drain_cache_split_paths(threshold_frac):
     assert pipe._fused_drain_ok
     out = pipe.run(probe)
     assert out["count"] == expected.shape[0]
+
+
+def test_fused_drain_work_counters_match_xla_path():
+    """The in-kernel work counters feed the device tuner's reward; they
+    must equal the XLA drain's level_steps / level_rows accounting for
+    the same stream and thresholds, and the cache states must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, probe, tables, _ = _setup(
+        n_joins=2, lhs=900, rhs=96, chunk_factor=2,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(
+        cfg, collect_tuples=False, device_tuner=True
+    )
+    pipes = {
+        "fused": SortedPipeline(tables, cfg, interpret=True),
+        "xla": SortedPipeline(tables, cfg, use_kernel=False),
+    }
+    pipes["xla"]._fused_drain_ok = False
+    assert pipes["fused"]._fused_drain_ok
+
+    block = cfg.block_size
+    n = probe.shape[0]
+    S = -(-n // block)
+    cols = np.zeros((S * block, 2), np.int64)
+    cols[:n] = probe
+    chunk_cols = jnp.asarray(
+        np.ascontiguousarray(
+            np.swapaxes(cols.reshape(S, block, 2), 1, 2)
+        )
+    )
+    counts = jnp.asarray(
+        np.r_[np.full(S - 1, block, np.int32), [block - (S * block - n)]]
+    )
+    thr = jnp.asarray([block, block // 2], jnp.int32)
+
+    states = {}
+    for name, pipe in pipes.items():
+        ps = pipe._scan_chunks(
+            pipe.fresh_state(), chunk_cols, counts, thr
+        )
+        states[name] = jax.tree.map(np.asarray, ps)
+    f, x = states["fused"], states["xla"]
+    assert int(f.result_count) == int(x.result_count)
+    assert np.array_equal(f.level_steps, x.level_steps), (
+        f.level_steps, x.level_steps,
+    )
+    assert np.array_equal(f.level_rows, x.level_rows), (
+        f.level_rows, x.level_rows,
+    )
+    assert np.array_equal(f.cache_count, x.cache_count)
