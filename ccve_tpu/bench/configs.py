@@ -137,6 +137,74 @@ def config1_single_join(n_build=1_000_000, n_probe=16_000_000, engine="sort_merg
     }
 
 
+def config1_wide(
+    n_build=1_000_000, n_probe=1 << 24, span_bits=40, niter=8
+):
+    """Config-1-shaped join with keys spanning ~2^span_bits — the wide
+    key domain the reference's int64 type system implies
+    (base.h:54-56) and pack32 cannot cover. Runs the limb-key Pallas
+    count-side engine; count and payload checksum verified against
+    numpy ground truth. Probe count is a power of two (XLA trips
+    shape-sensitive compile bugs at some non-power sizes on wide
+    programs; PERF_NOTES round 4)."""
+    from ccve_tpu.ops.sort_merge import build_sorted, sorted_match_totals
+
+    rng = np.random.default_rng(1)
+    span = 1 << span_bits
+    keys = rng.integers(0, span, n_build, dtype=np.int64)
+    probe = np.concatenate(
+        [
+            rng.choice(keys, n_probe // 2),
+            rng.integers(0, span, n_probe - n_probe // 2, dtype=np.int64),
+        ]
+    )
+    rng.shuffle(probe)
+    payloads = rng.integers(0, 2**30, n_build, dtype=np.int64)
+
+    sk = np.sort(keys)
+    lo = np.searchsorted(sk, probe, "left")
+    hi = np.searchsorted(sk, probe, "right")
+    expected = int((hi - lo).sum())
+    order = np.argsort(keys, kind="stable")
+    cpay = np.concatenate([[0], np.cumsum(payloads[order])])
+    expected_chk = int((cpay[hi] - cpay[lo]).sum())
+
+    table = build_sorted(keys, payloads)
+    assert table.pack32 is None and table.wide_ok
+    probe_dev = jax.device_put(jnp.asarray(probe))
+
+    c1, chk1 = jax.jit(
+        lambda p: sorted_match_totals(table, p)
+    )(probe_dev)
+    assert int(c1) == expected, (int(c1), expected)
+    assert int(chk1) == expected_chk, (int(chk1), expected_chk)
+
+    @jax.jit
+    def loop(p):
+        def body(_, acc):
+            bias = jnp.where(acc < 0, 1, 0).astype(p.dtype)
+            c, _ = sorted_match_totals(table, p + bias)
+            return acc + c
+
+        return jax.lax.fori_loop(0, niter, body, jnp.int64(0))
+
+    assert int(loop(probe_dev)) == niter * expected
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(loop(probe_dev))
+        best = min(best, time.perf_counter() - t0)
+    per = best / niter
+    return {
+        "name": "config1_wide",
+        "span_bits": span_bits,
+        "seconds": per,
+        "rows_per_s": n_probe / per,
+        "count": expected,
+        "checksum_ok": True,
+    }
+
+
 def config1_materialize(n_build=1_000_000, n_probe=16_000_000):
     """Materializing single join at full scale: `sorted_expand` emits
     every matched (probe_row, build_key, build_payload) triple — the

@@ -270,6 +270,15 @@ def _add_baseline(sub):
         "at full scale",
     )
     p.add_argument(
+        "--wide-span",
+        type=int,
+        default=None,
+        metavar="BITS",
+        help="config 1 only: keys spanning ~2^BITS (> pack32's 2^30) — "
+        "runs the limb-key wide-domain engine with numpy-verified "
+        "count/checksum (bench.configs.config1_wide)",
+    )
+    p.add_argument(
         "--materialize",
         action="store_true",
         help="config 1 only: time the MATERIALIZING join (sorted_expand "
@@ -299,6 +308,16 @@ def cmd_baseline(args) -> int:
         if args.config != 1:
             raise SystemExit("--engine applies to --config 1 only")
         kwargs["engine"] = args.engine
+    if args.wide_span is not None:
+        if args.config != 1:
+            raise SystemExit("--wide-span applies to --config 1 only")
+        from ccve_tpu.bench.configs import config1_wide
+
+        wk = {"span_bits": args.wide_span}
+        if args.tiny:
+            wk.update(n_build=4096, n_probe=1 << 15)
+        print(json.dumps(config1_wide(**wk), default=str))
+        return 0
     if args.materialize:
         if args.config != 1:
             raise SystemExit("--materialize applies to --config 1 only")

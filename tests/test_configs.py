@@ -81,3 +81,12 @@ def test_config1_materialize_tiny():
 
     out = config1_materialize(n_build=4096, n_probe=65536)
     assert out["payload_checksum_ok"] and out["tuples_out"] > 0
+
+
+def test_config1_wide_tiny():
+    """Wide-key config axis: numpy-verified count and checksum (the
+    asserts live inside the config function)."""
+    out = configs.config1_wide(
+        n_build=4096, n_probe=1 << 15, span_bits=40, niter=2
+    )
+    assert out["checksum_ok"] and out["count"] > 0
