@@ -454,17 +454,34 @@ def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
     )
     run = 1 << run_log
     n_runs = -(-n_pad // run)
-    bc = None
-    for r in range(n_runs):
-        off = r * run
-        ln = min(run, n_pad - off)
-        mh, ml = ps.merge_sorted_i64_limbs(
-            khi[off : off + ln], klo[off : off + ln], b64
+    # one lax.scan over UNIFORM runs, not a Python loop: the loop would
+    # trace n_runs copies of the merge driver + counts kernel into one
+    # program — the same compile blowup that killed the monolithic 16M
+    # sorted_expand (PERF_NOTES "compile wall"). Pad the sorted buffer
+    # to a run multiple with INT64_MAX (phantom probe-less build runs
+    # that append zeros past m).
+    pad2 = n_runs * run - n_pad
+    if pad2:
+        khi = jnp.concatenate(
+            [khi, jnp.full(pad2, np.int32(2**31 - 1), jnp.int32)]
         )
+        klo = jnp.concatenate(
+            [klo, jnp.full(pad2, np.int32(-1), jnp.int32)]
+        )
+    runs_h = khi.reshape(n_runs, run)
+    runs_l = klo.reshape(n_runs, run)
+
+    def body(bc, rhl):
+        rh, rl = rhl
+        mh, ml = ps.merge_sorted_i64_limbs(rh, rl, b64)
         bc_r = merge_scan_build_counts64(
-            mh, ml, m, extra=ln, interpret=interpret
+            mh, ml, m, extra=run, interpret=interpret
         )
-        bc = bc_r if bc is None else bc + bc_r
+        return bc + bc_r, None
+
+    bc, _ = jax.lax.scan(
+        body, jnp.zeros(m, jnp.int32), (runs_h, runs_l)
+    )
     return bc
 
 
