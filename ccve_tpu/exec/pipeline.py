@@ -746,26 +746,56 @@ class JoinPipeline:
         bstate = db.init_state(
             self.n_levels, len(cfg.resolved_threshold_arms)
         )
-        for s in range(n_seg):
+        if preload:
+            # device-resident feed: the WHOLE tuned stream is ONE
+            # dispatch — a lax.scan over segments with (pstate, bstate)
+            # carried, each step one bandit select/update round. The
+            # per-segment host loop below exists only to overlap
+            # streamed uploads with compute; with preloaded data it
+            # just paid ~n_seg dispatch enqueues (122 at config-7 size)
+            # that the statics' single dispatch no longer pays.
+            if not hasattr(self, "_process_dyn_all"):
+                def _all(ps, bs, cols, cnts):
+                    def body(carry, xs):
+                        p, b = carry
+                        c, k = xs
+                        p, b = self._process_seg_device_dynamic(
+                            p, b, c, k
+                        )
+                        return (p, b), None
+
+                    (ps2, bs2), _ = jax.lax.scan(body, (ps, bs), (cols, cnts))
+                    return ps2, bs2
+
+                self._process_dyn_all = jax.jit(
+                    _all, donate_argnums=(0, 1)
+                )
+            pstate, bstate = self._process_dyn_all(
+                pstate,
+                bstate,
+                all_cols.reshape(
+                    (n_seg, seg) + all_cols.shape[1:]
+                ),
+                all_counts.reshape(n_seg, seg),
+            )
+        for s in range(0 if preload else n_seg):
+            # streamed feed: per-segment dispatches overlap segment
+            # k+1's H2D upload with segment k's compute
             s0 = s * seg
-            if preload:
-                cols_dev = all_cols[s0 : s0 + seg]
-                counts_dev = all_counts[s0 : s0 + seg]
-            else:
-                cols_seg = make_batch(s0, min(s0 + seg, n_chunks))
-                if cols_seg.shape[0] < seg:  # zero-pad the tail segment
-                    cols_seg = np.concatenate(
-                        [
-                            cols_seg,
-                            np.zeros(
-                                (seg - cols_seg.shape[0],)
-                                + cols_seg.shape[1:],
-                                np.int64,
-                            ),
-                        ]
-                    )
-                cols_dev = jnp.asarray(cols_seg)
-                counts_dev = jnp.asarray(counts_full[s0 : s0 + seg])
+            cols_seg = make_batch(s0, min(s0 + seg, n_chunks))
+            if cols_seg.shape[0] < seg:  # zero-pad the tail segment
+                cols_seg = np.concatenate(
+                    [
+                        cols_seg,
+                        np.zeros(
+                            (seg - cols_seg.shape[0],)
+                            + cols_seg.shape[1:],
+                            np.int64,
+                        ),
+                    ]
+                )
+            cols_dev = jnp.asarray(cols_seg)
+            counts_dev = jnp.asarray(counts_full[s0 : s0 + seg])
             pstate, bstate = self._process_dyn_seg(
                 pstate, bstate, cols_dev, counts_dev
             )

@@ -527,3 +527,23 @@ def test_fused_drain_work_counters_match_xla_path():
         f.level_rows, x.level_rows,
     )
     assert np.array_equal(f.cache_count, x.cache_count)
+
+
+def test_fused_drain_device_dynamic_preload_single_dispatch():
+    """Preloaded DYNAMIC runs the whole tuned stream as ONE lax.scan
+    dispatch (bandit state carried); counts must stay oracle-exact and
+    match the streamed path's."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=900, rhs=96, chunk_factor=1,
+        strategy=CompactionStrategy.DYNAMIC,
+        payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(
+        cfg, collect_tuples=False, device_tuner=True,
+        tuner_segment_chunks=2,
+    )
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    out = pipe.run(probe, preload=True)
+    assert out["count"] == expected.shape[0]
+    out2 = pipe.run(probe)  # streamed path
+    assert out2["count"] == expected.shape[0]
