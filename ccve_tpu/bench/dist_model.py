@@ -150,6 +150,25 @@ def hier_shuffle_cost(n_probe: int, n_hosts: int, n_ici: int,
     return ShuffleCost("hier", t_ici, t_dcn, bytes_ici, dcn_per_host)
 
 
+def bcast_cost(n_build: int, n_hosts: int, n_ici: int,
+               table_bytes_per_row: int = 2 * I64) -> ShuffleCost:
+    """ONE-TIME cost of replicating one level's build table to every
+    device (`replicate_tables` / `dist_bulk_count_bcast`): the shuffle
+    amortization. DCN: the table leaves the source host once per other
+    host (linear chain — a broadcast tree would be log₂D, so this is
+    conservative); ICI: one pipelined pass around the ring per host.
+    Unlike the per-level shuffles this cost does NOT recur per probe
+    batch — divide by the number of batches streamed against the build
+    to amortize (predict(..., n_batches=...))."""
+    b = n_build * table_bytes_per_row
+    t_ici = b / ICI_LINK_BW if n_ici > 1 else 0.0
+    if n_hosts == 1:
+        return ShuffleCost("bcast", t_ici, 0.0, b, 0.0)
+    dcn = b * (n_hosts - 1)
+    t_dcn = dcn / DCN_HOST_BW + (n_hosts - 1) * DCN_MSG_OVERHEAD
+    return ShuffleCost("bcast", t_ici, t_dcn, b, dcn)
+
+
 @dataclass
 class DistPrediction:
     n_hosts: int
@@ -168,29 +187,46 @@ def predict(
     n_levels: int = 1,
     topologies=((1, 4), (1, 8), (2, 8), (4, 8), (8, 8)),
     shuffle: str = "auto",
+    n_batches: int = 1,
 ) -> list[DistPrediction]:
     """Predicted throughput/scaling for config-1/5-shaped workloads.
 
     Compute per chip = single-chip roofline at (m/P build, n/P probe)
     per level (each level probes the full local stream). Communication
     = per-level shuffle cost for the chosen topology. `auto` picks hier
-    whenever hosts > 1 (matching bootstrap.run_dist_join's auto rule)."""
+    whenever hosts > 1 (matching bootstrap.run_dist_join's auto rule).
+    shuffle="bcast" prices the replicated-build plan
+    (`dist_bulk_count_bcast`): the table broadcast is one-time, divided
+    over `n_batches` probe batches streamed against the same build (the
+    reference driver streams its whole LHS against one build,
+    main.cpp:62-95); the local table is then the FULL m rows (not m/P)
+    and the only recurring comm is the final O(L)-scalar psum."""
     t1 = sum(
         op.t_sol for op in count_side_model(n_build, n_probe)
     ) * n_levels
     out = []
     for d, i in topologies:
         p = d * i
+        kind = shuffle if shuffle != "auto" else ("hier" if d > 1 else "flat")
+        local_build = n_build if kind == "bcast" else max(n_build // p, 1)
         t_comp = sum(
             op.t_sol
-            for op in count_side_model(
-                max(n_build // p, 1), max(n_probe // p, 1)
-            )
+            for op in count_side_model(local_build, max(n_probe // p, 1))
         ) * n_levels
-        kind = shuffle if shuffle != "auto" else ("hier" if d > 1 else "flat")
-        cost_fn = hier_shuffle_cost if kind == "hier" else flat_shuffle_cost
-        sc = cost_fn(n_probe, d, i)
-        t_comm = sc.t_level * n_levels
+        if kind == "bcast":
+            sc = bcast_cost(n_build, d, i)
+            # one-time broadcast amortized + per-batch scalar psum (an
+            # allreduce of L scalars is tree-structured: log2 D rounds)
+            t_psum = (
+                math.ceil(math.log2(d)) * DCN_MSG_OVERHEAD if d > 1 else 0.0
+            )
+            t_comm = sc.t_level * n_levels / max(n_batches, 1) + t_psum
+        else:
+            cost_fn = (
+                hier_shuffle_cost if kind == "hier" else flat_shuffle_cost
+            )
+            sc = cost_fn(n_probe, d, i)
+            t_comm = sc.t_level * n_levels
         t_total = t_comp + t_comm
         out.append(
             DistPrediction(
@@ -215,13 +251,14 @@ def report_dist(
     preds = predict(n_build, n_probe, n_levels)
     both = []
     for pr in preds:
-        if pr.n_hosts > 1:  # show flat vs hier side by side across DCN
+        if pr.n_hosts > 1:  # flat vs hier vs amortized bcast across DCN
             both.extend(
                 predict(
                     n_build, n_probe, n_levels,
                     topologies=((pr.n_hosts, pr.n_ici),), shuffle=s,
+                    n_batches=8 if s == "bcast" else 1,
                 )
-                for s in ("flat", "hier")
+                for s in ("flat", "hier", "bcast")
             )
         else:
             both.append([pr])
@@ -245,14 +282,19 @@ def report_dist(
     lines.append(
         "eff = predicted P-chip throughput / (P x single-chip roofline); "
         ">=0.80 is the north-star bar. Within one ICI slice the bar "
-        "holds; ACROSS DCN the shuffle is structurally comm-bound: both "
-        "compute (n log n / P) and shuffle bytes (n/P per chip) shrink "
-        "with P, so their ratio improves only as log n — per-key radix "
-        "shuffles do not hide behind more hosts at any workload size. "
-        "The hier shuffle's advantage over flat (one aggregated DCN "
-        "crossing, D-1 messages instead of P-I) grows with P; getting "
-        "eff past the bar cross-host requires amortizing the shuffle "
-        "(co-partitioned builds, multi-level reuse) — not faster links."
+        "holds; ACROSS DCN the per-key shuffle is structurally "
+        "comm-bound: both compute (n log n / P) and shuffle bytes (n/P "
+        "per chip) shrink with P, so their ratio improves only as "
+        "log n — per-key radix shuffles do not hide behind more hosts "
+        "at any workload size. The amortization that fixes it is "
+        "'bcast' (dist_bulk_count_bcast): replicate the small build "
+        "tables once (16·m B/level, amortized here over 8 probe "
+        "batches) and answer every probe row locally — the recurring "
+        "cross-DCN traffic drops from ~20 B/key/level to an O(L) "
+        "scalar psum, putting eff back at the single-slice level. Its "
+        "limit is HBM: the build must fit per chip (it does at every "
+        "reference scale, 2-32 MB/level); past that, the partitioned "
+        "hier shuffle remains the fallback."
     )
     return "\n".join(lines)
 

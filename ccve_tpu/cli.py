@@ -411,12 +411,13 @@ def _add_dist(sub):
     )
     p.add_argument(
         "--shuffle",
-        choices=["auto", "flat", "hier"],
+        choices=["auto", "flat", "hier", "bcast"],
         default="auto",
-        help="radix-shuffle topology: 'hier' = 2D (process, local) mesh "
-        "with the 3-hop shuffle (keys cross the process boundary once, "
-        "host-aggregated); 'auto' picks hier for multi-process launches "
-        "with >1 local device",
+        help="distribution plan: 'hier' = 2D (process, local) mesh "
+        "with the 2-hop shuffle (keys cross the process boundary once, "
+        "host-aggregated); 'bcast' = replicated builds, zero per-key "
+        "crossings (the amortized plan for small builds); 'auto' picks "
+        "hier for multi-process launches with >1 local device",
     )
     p.set_defaults(func=cmd_dist)
 
@@ -444,12 +445,13 @@ def cmd_dist(args) -> int:
         n_joins=args.n_joins,
         kind=args.kind,
         pipeline_levels=args.pipeline_levels,
-        hierarchical={"auto": None, "flat": False, "hier": True}[
-            args.shuffle
-        ]
+        hierarchical={
+            "auto": None, "flat": False, "hier": True, "bcast": False,
+        }[args.shuffle]
         if args.zipf_alpha is None
         else False,
         zipf_alpha=args.zipf_alpha,
+        shuffle=args.shuffle if args.shuffle != "auto" else None,
     )
     out["initialized"] = info["initialized"]
     print(json.dumps(out))

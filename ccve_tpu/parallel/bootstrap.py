@@ -86,6 +86,7 @@ def run_dist_join(
     cross_check: bool | None = None,
     hierarchical: bool | None = None,
     zipf_alpha: float | None = None,
+    shuffle: str | None = None,
 ) -> dict:
     """The distributed-join harness over the GLOBAL device mesh
     (config-5 geometry by default): deterministic tables + probe
@@ -103,7 +104,15 @@ def run_dist_join(
     genuine cross-host link — and the 2-hop shuffle
     (`dist_bulk_count_hier`): an intra-process hop to the owner's chip
     column, then every key crosses the slow axis exactly once inside a
-    host-aggregated grid, landing directly at its owner."""
+    host-aggregated grid, landing directly at its owner.
+
+    `shuffle` overrides the plan outright: "flat" / "hier" map onto
+    `hierarchical`; "bcast" replicates the build tables to every device
+    (`dist_bulk_count_bcast`) so the probe stream never crosses the
+    mesh — the amortized plan for small builds (bench/dist_model.py
+    prices the crossover). PRPD/zipf composes with bcast trivially:
+    replication IS total heavy-hitter duplication, so the skew path is
+    simply unnecessary there."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -122,8 +131,12 @@ def run_dist_join(
     n_procs = jax.process_count()
     if cross_check is None:
         cross_check = n_procs == 1
+    if shuffle == "flat":
+        hierarchical = False
+    elif shuffle == "hier":
+        hierarchical = True
     if hierarchical is None:
-        hierarchical = n_procs > 1 and n_local > 1
+        hierarchical = shuffle != "bcast" and n_procs > 1 and n_local > 1
 
     keys, payloads = gen_rhs_table(n_build, 1)
     if zipf_alpha is not None:
@@ -149,7 +162,27 @@ def run_dist_join(
         probe = gen_probe_table(n_probe, n_joins, n_build)
         hot = None
 
-    if hierarchical:
+    if shuffle == "bcast":
+        from ccve_tpu.parallel.distributed import (
+            dist_bulk_count_bcast,
+            replicate_tables,
+        )
+
+        hierarchical = False
+        mesh = (
+            make_join_mesh_2d(n_procs, n_devices // n_procs)
+            if n_procs > 1 and n_local > 1
+            else make_join_mesh(n_devices)
+        )
+        rtables = [
+            replicate_tables(keys, payloads, kind, mesh)
+            for _ in range(n_joins)
+        ]
+
+        def counter(mesh, _ptables, probe, **_kw):
+            return dist_bulk_count_bcast(mesh, rtables, probe)
+
+    elif hierarchical:
         if zipf_alpha is not None:
             raise ValueError(
                 "PRPD (zipf) runs on the flat shuffle; pass "
@@ -160,7 +193,9 @@ def run_dist_join(
     else:
         mesh = make_join_mesh(n_devices)
         counter = dist_bulk_count
-    if hot is not None and hot.size:
+    if shuffle == "bcast":
+        ptables = None
+    elif hot is not None and hot.size:
         ptables = [
             partition_tables_split(
                 keys, payloads, n_devices, hot, kind, mesh
@@ -183,6 +218,8 @@ def run_dist_join(
         "num_processes": jax.process_count(),
         "n_devices": n_devices,
         "hierarchical": bool(hierarchical),
+        "shuffle": shuffle
+        or ("hier" if hierarchical else "flat"),
         "n_build": n_build,
         "n_probe": n_probe,
         "n_joins": n_joins,
@@ -212,7 +249,11 @@ def run_dist_join(
         from ccve_tpu.parallel.distributed import dist_pipeline_expand
 
         # the materializing pipeline shuffles on the flat 1D mesh
-        pmesh = make_join_mesh(n_devices) if hierarchical else mesh
+        pmesh = (
+            make_join_mesh(n_devices)
+            if len(mesh.devices.shape) > 1
+            else mesh
+        )
         levels = [
             partition_tables(keys, payloads, n_devices, "sorted", pmesh)
             for _ in range(pipeline_levels)

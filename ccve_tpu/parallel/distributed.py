@@ -307,6 +307,53 @@ def partition_tables_split(
     return HotSplitTables(part=part, rep=rep, hot_keys=hk_dev)
 
 
+class ReplicatedTables(NamedTuple):
+    """One join level's build table, REPLICATED to every device (no
+    leading partition axis). The broadcast-join counterpart of
+    `PartitionedTables` — see `dist_bulk_count_bcast` for when this is
+    the right trade."""
+
+    kind: str  # "lp" | "csr" | "sorted"
+    arrays: tuple  # unstacked device arrays, replicated across the mesh
+    max_bound: int
+
+    def local_table(self, arrs: tuple):
+        if self.kind == "lp":
+            slot_keys, slot_payloads = arrs
+            return LPTable(slot_keys, slot_payloads, self.max_bound)
+        if self.kind == "sorted":
+            from ccve_tpu.ops.sort_merge import SortedTable
+
+            keys, payloads = arrs
+            return SortedTable(keys, payloads, pack=None,
+                               max_mult=self.max_bound)
+        offsets, ekeys, epays = arrs
+        return CSRTable(offsets, ekeys, epays, self.max_bound)
+
+
+def replicate_tables(
+    keys: np.ndarray,
+    payloads: np.ndarray | None,
+    kind: str = "sorted",
+    mesh: Mesh | None = None,
+) -> ReplicatedTables:
+    """Build ONE full local table and replicate it across the mesh (the
+    one-time broadcast whose cost `dist_bulk_count_bcast` amortizes).
+    Reuses the partition packing with a single all-rows partition."""
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    if payloads is None:
+        payloads = np.arange(keys.shape[0], dtype=np.int64) + 10_000_000
+    pt = _pack_partitions(
+        keys, payloads, [np.arange(keys.shape[0])], 1, kind, None
+    )
+    arrays = tuple(a[0] for a in pt.arrays)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P())
+        arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+    return ReplicatedTables(kind=kind, arrays=arrays,
+                            max_bound=pt.max_bound)
+
+
 class DistResult(NamedTuple):
     count: jax.Array  # int64: total join output rows
     payload_checksums: jax.Array  # int64[n_levels]
@@ -784,6 +831,100 @@ def dist_bulk_count_hier(
             spmd, mesh=mesh, in_specs=in_specs,
             out_specs=(P(), P(), P(), P()),
         )
+    )
+    count, chks, skew, overflow = f(table_leaves, probe_sharded)
+    return DistResult(
+        count=count, payload_checksums=chks, skew=skew, overflow=overflow
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast (replicated-build) tier: the shuffle amortization
+# ---------------------------------------------------------------------------
+
+
+def dist_bulk_count_bcast(
+    mesh: Mesh,
+    rtables: Sequence[ReplicatedTables],
+    probe_rows: np.ndarray | jax.Array,
+) -> DistResult:
+    """Distributed N-way join count with REPLICATED builds — the shuffle
+    amortization that makes cross-DCN scaling reachable (VERDICT r4 #3).
+
+    Why this, and not a cleverer shuffle: the per-level radix shuffle is
+    structurally comm-bound across DCN (bench/dist_model.py) because
+    every probe key pays ~20 wire bytes per level (8 B key out, 12 B
+    (mult, psum) back) EVERY pass, while both compute and bytes shrink
+    together with P. Forward-chaining the levels (route the row once,
+    hop owner-to-owner carrying partial stats) does not help: the row
+    must drag its remaining keys and accumulated psums through every
+    hop, Σ_l [8·(L-l) + 4 + 8·l] ≈ 8·L² + 12·L bytes/row — MORE than
+    the 20·L of the per-level shuffle for every L ≥ 1. The byte count
+    that can actually be removed is the per-key traffic itself: the
+    multiplicity/psum function each level evaluates has a SMALL domain
+    (the build table, n_rhs rows — 128K..2M in the reference's own
+    workloads, base.h:44-51) while the probe stream is huge (16M-134M
+    rows, base.h:43). So ship the FUNCTION, not the arguments: one-time
+    all-gather of each level's table (16·m bytes, sorted kind), then
+    every probe row is answered entirely locally and the only recurring
+    communication is an O(L) scalar psum. The broadcast cost is
+    amortized over all L levels and every probe batch streamed against
+    the same build — exactly the reference driver's shape (one build,
+    then a long chunk stream, main.cpp:62-95).
+
+    Probe rows are split evenly across devices (row balance is exact by
+    construction: skew ≡ 1.0, no send capacity exists to overflow).
+    Works on any mesh (1D join mesh or 2D (dcn, ici)); the psum runs
+    over all mesh axes. For build tables too large to replicate, the
+    partitioned `dist_bulk_count`/`dist_bulk_count_hier` remain the
+    fallback; `bench/dist_model.py:bcast_cost` prices the crossover."""
+    axes = tuple(mesh.axis_names)
+    n_parts = mesh.devices.size
+    probe = jnp.asarray(probe_rows, jnp.int64)
+    n, n_joins = probe.shape
+    per_dev = -(-n // n_parts)
+    pad = per_dev * n_parts - n
+    if pad:
+        probe = jnp.concatenate(
+            [probe, jnp.full((pad, n_joins), -2, jnp.int64)]
+        )
+    probe_sharded = jax.device_put(
+        probe, NamedSharding(mesh, P(axes, None))
+    )
+    table_leaves = tuple(rt.arrays for rt in rtables)
+    in_specs = (
+        tuple(jax.tree.map(lambda _: P(), rt.arrays) for rt in rtables),
+        P(axes, None),
+    )
+    out_specs = (P(), P(), P(), P())
+
+    def spmd(table_leaves, probe_local):  # probe_local: [per_dev, n_joins]
+        mults, psums = [], []
+        for l, rt in enumerate(rtables):
+            local = rt.local_table(table_leaves[l])
+            # pad keys (-2) match nothing: build keys are >= 0, LP empty
+            # is -1, sorted padding is INT64_MAX
+            s = match_stats(local, probe_local[:, l])
+            mults.append(s.mult.astype(jnp.int64))
+            psums.append(s.psum)
+        prod = mults[0]
+        for m in mults[1:]:
+            prod = prod * m
+        count = jax.lax.psum(jnp.sum(prod), axes)
+        chks = []
+        for l in range(len(rtables)):
+            others = jnp.where(mults[l] > 0, prod // mults[l], 0)
+            chks.append(jax.lax.psum(jnp.sum(psums[l] * others), axes))
+        return (
+            count,
+            jnp.stack(chks),
+            jnp.ones((), jnp.float32),  # row-balanced by construction
+            jnp.zeros((), bool),  # no send capacity to overflow
+        )
+
+    f = jax.jit(
+        jax.shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs)
     )
     count, chks, skew, overflow = f(table_leaves, probe_sharded)
     return DistResult(

@@ -51,14 +51,15 @@ def _result(proc, timeout=600):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("shuffle", ["hier", "flat"])
+@pytest.mark.parametrize("shuffle", ["hier", "flat", "bcast"])
 def test_dist_two_process_launch_matches_single(shuffle):
     """2 processes x 2 devices vs one 4-device single-process run (which
     itself cross-checks against the single-device bulk count): identical
     join counts and pipeline row totals. 'hier' routes the radix shuffle
     over the 2D (process, local) mesh — the key hop crosses the REAL
     process boundary once, host-aggregated (dist_bulk_count_hier);
-    'flat' is the 1D all_to_all."""
+    'flat' is the 1D all_to_all; 'bcast' replicates the builds across
+    the REAL process boundary and never shuffles the probe stream."""
     # single-process degenerate run (no coordinator): 4 local devices
     single = _result(_run(COMMON, n_local_devices=4))
     assert single["initialized"] is False

@@ -353,3 +353,92 @@ def test_dist_pipeline_expand_level_caps():
         mesh, ptables, probe, cap_slack=8.0, level_caps=tiny
     )
     assert bool(res2.overflow)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast (replicated-build) tier — the shuffle amortization
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["lp", "csr", "sorted"])
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_dist_bcast_matches_oracle(kind, n_devices):
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_bcast,
+        replicate_tables,
+    )
+
+    mesh = make_join_mesh(n_devices)
+    n_joins, lhs, rhs = 2, 600, 64
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 2)
+    rtables = [
+        replicate_tables(keys, payloads, kind, mesh) for _ in range(n_joins)
+    ]
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.FULL
+    )
+    res = dist_bulk_count_bcast(mesh, rtables, probe)
+    assert not bool(res.overflow)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+    assert float(res.skew) == 1.0
+
+
+def test_dist_bcast_2d_mesh():
+    """The broadcast count runs unchanged on a 2D (dcn, ici) mesh —
+    psum over both axes, probe row-sharded over the full device grid."""
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_bcast,
+        make_join_mesh_2d,
+        replicate_tables,
+    )
+
+    mesh = make_join_mesh_2d(2, 4)
+    n_joins, lhs, rhs = 3, 777, 32
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 1)
+    rtables = [
+        replicate_tables(keys, payloads, "sorted", mesh)
+        for _ in range(n_joins)
+    ]
+    expected = oracle_pipeline(
+        probe, [OracleBuildTable(keys, payloads)] * n_joins, PayloadMode.FULL
+    )
+    res = dist_bulk_count_bcast(mesh, rtables, probe)
+    assert int(res.count) == expected.shape[0]
+    for l in range(n_joins):
+        col = n_joins + 2 * l + 1
+        assert int(res.payload_checksums[l]) == int(expected[:, col].sum())
+
+
+def test_dist_bcast_agrees_with_shuffle():
+    """Broadcast and radix-shuffle paths are different communication
+    plans for the SAME join: their counts/checksums must agree exactly."""
+    from ccve_tpu.parallel.distributed import (
+        dist_bulk_count_bcast,
+        replicate_tables,
+    )
+
+    mesh = make_join_mesh(4)
+    n_joins, lhs, rhs = 2, 900, 128
+    probe = gen_probe_table(lhs, n_joins, rhs)
+    keys, payloads = gen_rhs_table(rhs, 4)
+    ptables = [
+        partition_tables(keys, payloads, 4, "sorted", mesh)
+        for _ in range(n_joins)
+    ]
+    rtables = [
+        replicate_tables(keys, payloads, "sorted", mesh)
+        for _ in range(n_joins)
+    ]
+    shuf = dist_bulk_count(mesh, ptables, probe, cap_slack=8.0)
+    bcast = dist_bulk_count_bcast(mesh, rtables, probe)
+    assert not bool(shuf.overflow)
+    assert int(bcast.count) == int(shuf.count)
+    assert np.array_equal(
+        np.asarray(bcast.payload_checksums),
+        np.asarray(shuf.payload_checksums),
+    )
