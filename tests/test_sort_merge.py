@@ -517,3 +517,40 @@ def test_sorted_totals_wide_countside_matches_xla():
         c, p = sorted_match_totals(table, probes_d, use_kernel=True)
     assert int(c) == int(c_ref)
     assert int(p) == int(p_ref)
+
+
+def test_sorted_expand_tiled_matches_monolithic():
+    """Capacity auto-tiling (sorted_expand_tiled): the per-tile triple
+    multiset with GLOBAL row ids must equal the monolithic expand's,
+    including a non-dividing tile size (sentinel-padded last tile) and
+    a multiplicity > 1 table."""
+    from ccve_tpu.ops.sort_merge import sorted_expand, sorted_expand_tiled
+
+    rng = np.random.default_rng(9)
+    keys = np.repeat(np.arange(50, dtype=np.int64) * 2 + 7, 2)  # mult 2
+    payloads = np.arange(keys.size, dtype=np.int64) + 900
+    st = build_sorted(keys, payloads)
+    probe = rng.integers(0, 120, 1000).astype(np.int64)
+
+    cap = probe.size * st.max_mult
+    r0, k0, p0, t0 = sorted_expand(st, jnp.asarray(probe), cap)
+    mono = sorted(
+        (int(r), int(k), int(p))
+        for r, k, p in zip(np.asarray(r0), np.asarray(k0), np.asarray(p0))
+        if r >= 0
+    )
+
+    for tile in (1000, 256, 384):  # mono path, dividing, non-dividing
+        tiles, total = sorted_expand_tiled(st, probe, tile_rows=tile)
+        assert total == int(t0)
+        got = sorted(
+            (int(r), int(k), int(p))
+            for rows, mk, mp, _tt in tiles
+            for r, k, p in zip(
+                np.asarray(rows), np.asarray(mk), np.asarray(mp)
+            )
+            if r >= 0
+        )
+        assert got == mono, f"tile={tile}"
+        if tile < probe.size:
+            assert len(tiles) == -(-probe.size // tile)
