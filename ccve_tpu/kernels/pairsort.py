@@ -340,6 +340,119 @@ def _merge_two_padded_multi(ak, avs: tuple, bk, bvs: tuple, tile_log: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tile_log", "n_levels_cap")
+)
+def _sort_padded_multi_capped(k, vs: tuple, tile_log: int,
+                              n_levels_cap: int):
+    """`_sort_padded_multi` with an early-stopped merge ladder (the i32
+    twin of `_sort_padded_multi64_capped`): the final executed level
+    writes every run ASCENDING (force_asc) so downstream run scanners
+    walk forward; cap 0 leaves ascending local tiles."""
+    tile = 1 << tile_log
+    n_pad = k.shape[0]
+    nt = n_pad // tile
+    rows = n_pad // 128
+    R = tile // 128
+    P = len(vs)
+
+    n_levels_full = max(nt - 1, 0).bit_length()
+    n_levels = min(n_levels_full, n_levels_cap)
+
+    yk = k.reshape(rows, 128)
+    yvs = [v.reshape(rows, 128) for v in vs]
+    with jax.enable_x64(False):
+        spec = pl.BlockSpec((R, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        shape = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+        outs = pl.pallas_call(
+            _make_local_kernel_multi(tile_log, P, n_levels > 0),
+            grid=(nt,),
+            in_specs=[spec] * (1 + P),
+            out_specs=[spec] * (1 + P),
+            out_shape=[shape] * (1 + P),
+            compiler_params=_VMEM_BIG,
+        )(yk, *yvs)
+        yk, yvs = outs[0], list(outs[1:])
+
+    Rw = R + 8
+    if n_levels:
+        yk = jnp.concatenate(
+            [yk, jnp.full((2 * R, 128), I32_MAX, jnp.int32)], axis=0
+        )
+        yvs = [
+            jnp.concatenate([v, jnp.zeros((2 * R, 128), jnp.int32)],
+                            axis=0)
+            for v in yvs
+        ]
+    merge_kernel = _make_merge_kernel_multi(
+        tile_log, rows + R - 8, P, n_real=nt
+    )
+    pad2 = jnp.zeros(2, jnp.int32)
+    for lvl in range(n_levels):
+        run_log = tile_log + lvl
+        splits = _merge_splits_alt(
+            yk.reshape(-1), run_log, nt, tile_log, n_pad,
+            force_asc=lvl == n_levels - 1,
+        )
+        with jax.enable_x64(False):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(nt + 2,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + P),
+                out_specs=[
+                    pl.BlockSpec(
+                        (R, 128), lambda t, *_: (t, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                * (1 + P),
+                scratch_shapes=(
+                    [pltpu.VMEM((Rw, 128), jnp.int32)] * (2 * (1 + P))
+                    + [pltpu.SemaphoreType.DMA] * (2 * (1 + P))
+                ),
+            )
+            outs = pl.pallas_call(
+                merge_kernel,
+                grid_spec=grid_spec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((rows + 2 * R, 128), jnp.int32)
+                ]
+                * (1 + P),
+                compiler_params=_VMEM_BIG,
+            )(*(jnp.concatenate([s, pad2]) for s in splits), yk, *yvs)
+            yk, yvs = outs[0], list(outs[1:])
+
+    return (
+        yk.reshape(-1)[:n_pad],
+        tuple(v.reshape(-1)[:n_pad] for v in yvs),
+    )
+
+
+def pallas_sort_multi_i32_runs(keys, vals, tile_log: int = TILE_LOG,
+                               n_levels_cap: int | None = None):
+    """`pallas_sort_multi_i32` with an early-stopped ladder: returns
+    (keys, value_planes, run_log) where runs of 2^run_log are each
+    ascending-sorted (counts are additive over runs — the same trade as
+    `pallas_sort_i64_limbs`). Input is +INF-padded to a tile multiple;
+    outputs keep the padding (length = padded size)."""
+    vals = tuple(vals)
+    n = keys.shape[0]
+    tile = 1 << tile_log
+    pad = (-n) % tile
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full(pad, I32_MAX, jnp.int32)])
+        vals = tuple(
+            jnp.concatenate([v, jnp.zeros(pad, jnp.int32)]) for v in vals
+        )
+    n_pad = keys.shape[0]
+    nt = n_pad // tile
+    n_levels = max(nt - 1, 0).bit_length()
+    cap = n_levels if n_levels_cap is None else min(n_levels, n_levels_cap)
+    k, vs = _sort_padded_multi_capped(keys, vals, tile_log, cap)
+    return k, vs, tile_log + cap
+
+
 def pallas_sort_multi_i32(keys, vals, tile_log: int = TILE_LOG):
     """Ascending sort of i32 keys carrying i32 value planes. Returns
     (sorted_keys, tuple_of_sorted_value_planes). Unstable among equal

@@ -42,7 +42,7 @@ from ccve_tpu.exec.bulk import MatchStats
     jax.tree_util.register_dataclass,
     data_fields=["keys", "payloads"],
     meta_fields=["pack", "pack32", "pay32", "max_mult", "span62",
-                 "wide_ok"],
+                 "wide_ok", "span_bits"],
 )
 @dataclasses.dataclass(frozen=True)
 class SortedTable:
@@ -72,6 +72,11 @@ class SortedTable:
     # keep >2^30-span int64 keys at kernel speed (the reference's key
     # domain is all of int64, /root/reference/base.h:54-56)
     wide_ok: bool = False
+    # bit width of the TAGGED packed key' ((kmax-kmin+2) << 1 | 1),
+    # host-computed at build: the static split point of the wide
+    # count-side SPLIT-PLANE route (s1 = top <=30 bits, single compare
+    # plane; s2 = residue cargo). None = unknown (device-built tables)
+    span_bits: int | None = None
 
 
 def _pack_meta(keys: np.ndarray, payloads: np.ndarray):
@@ -136,6 +141,9 @@ def build_sorted(keys, payloads=None, device=None) -> SortedTable:
             and payloads.min(initial=0) >= 0
             and payloads.max(initial=0) < 2**31
         ),
+        span_bits=(
+            int(keys.max()) - int(keys.min()) + 2
+        ).bit_length() + 1 if keys.size else None,
     )
 
 
@@ -414,6 +422,10 @@ def sorted_match_stats(
 # 0.8*n/m heuristic otherwise); probe scripts sweep it on chip.
 SKIP_LEVELS_OVERRIDE: int | None = None
 
+# Wide count-side route selector ("split" = single-compare-plane ladder
+# + tie fixup, "limb" = 2-plane limb ladder); probe scripts A/B it.
+WIDE_COUNT_ROUTE: str = "split"
+
 
 def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
                      interpret: bool = False,
@@ -461,6 +473,140 @@ def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
     # to a run multiple with INT64_MAX (phantom probe-less build runs
     # that append zeros past m).
     pad2 = n_runs * run - n_pad
+    if pad2:
+        khi = jnp.concatenate(
+            [khi, jnp.full(pad2, np.int32(2**31 - 1), jnp.int32)]
+        )
+        klo = jnp.concatenate(
+            [klo, jnp.full(pad2, np.int32(-1), jnp.int32)]
+        )
+    runs_h = khi.reshape(n_runs, run)
+    runs_l = klo.reshape(n_runs, run)
+
+    def body(bc, rhl):
+        rh, rl = rhl
+        mh, ml = ps.merge_sorted_i64_limbs(rh, rl, b64)
+        bc_r = merge_scan_build_counts64(
+            mh, ml, m, extra=run, interpret=interpret
+        )
+        return bc + bc_r, None
+
+    bc, _ = jax.lax.scan(
+        body, jnp.zeros(m, jnp.int32), (runs_h, runs_l)
+    )
+    return bc
+
+
+def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int):
+    """Within each ascending `run`-length segment of the s1-sorted
+    stream, sort the s2 cargo inside equal-s1 groups — completing the
+    (s1, s2) lexicographic order after a SINGLE-COMPARE-PLANE ladder.
+
+    Static strided odd-even passes clear the common case (s1 ties are
+    rare: 30 bits of prefix); a verified stride-1 odd-even
+    `while_loop` then runs until the stream checks sorted — exact for
+    ANY tie profile (odd-even transposition sorts a group of length L
+    in <= L phases), so adversarial ties cost passes, never
+    correctness, and no fallback branch has to be compiled."""
+    n = s1.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos_in_run = idx & (run - 1)
+
+    def one_pass(s2, st: int, phase: int):
+        nbr1 = jnp.concatenate([s1[st:], jnp.full((st,), -1, jnp.int32)])
+        nbr2 = jnp.concatenate([s2[st:], jnp.zeros((st,), jnp.int32)])
+        is_lower = (
+            (((idx // st) & 1) == phase)
+            & (pos_in_run + st < run)
+            & (s1 == nbr1)
+        )
+        swap = is_lower & (s2 > nbr2)
+        lower_new = jnp.where(swap, nbr2, s2)
+        swap_below = jnp.concatenate(
+            [jnp.zeros((st,), bool), swap[:-st]]
+        )
+        below2 = jnp.concatenate([jnp.zeros((st,), jnp.int32), s2[:-st]])
+        return jnp.where(swap_below, below2, lower_new)
+
+    def check(s2):
+        nbr1 = jnp.concatenate([s1[1:], jnp.full((1,), -1, jnp.int32)])
+        nbr2 = jnp.concatenate([s2[1:], jnp.zeros((1,), jnp.int32)])
+        adj = (pos_in_run + 1 < run) & (s1 == nbr1)
+        return jnp.all(jnp.where(adj, s2 <= nbr2, True))
+
+    for st in (8, 4, 2, 1):
+        for ph in (0, 1):
+            s2 = one_pass(s2, st, ph)
+
+    def body(carry):
+        s2, _ = carry
+        s2 = one_pass(s2, 1, 0)
+        s2 = one_pass(s2, 1, 1)
+        return s2, check(s2)
+
+    s2, _ = jax.lax.while_loop(
+        lambda c: ~c[1], body, (s2, check(s2))
+    )
+    return s1, s2
+
+
+def _count_side_bc64_split(p64: jax.Array, b64: jax.Array, m: int,
+                           sh: int, interpret: bool = False,
+                           tile_log: int | None = None) -> jax.Array:
+    """SPLIT-PLANE wide counts — the span-adaptive single-compare-plane
+    route (VERDICT r4 #2): instead of the 2-plane limb ladder (every
+    compare-exchange pays the 3-op lt64 on (hi, lo) pairs), sort the
+    probe stream by s1 = key' >> sh — a SINGLE non-negative i32 compare
+    plane (sh chosen at build time so s1 < 2^30) — with the residue
+    s2 = key' & (2^sh - 1) riding as cargo. Movement is the same two
+    planes, but each CE compares ONE plane (~half the ladder ALU; the
+    stages are measured ALU-bound, PERF_NOTES). s1 ties (keys sharing
+    the 30-bit prefix) are then finished by `_tie_fixup_runs`, the
+    32/32 limb planes are reconstructed in PURE i32 math
+    (khi = s1 >> (32-sh), klo = (s1 << sh) | s2 — no emulated-int64
+    pass), and the per-run limb merge + 64-bit counts kernel run
+    unchanged. Requires sh <= 31 (span_bits <= 61)."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_build_counts64
+
+    n = p64.shape[0]
+    tile_log = bs.TILE_LOG if tile_log is None else tile_log
+    tile = 1 << tile_log
+    if n <= tile:
+        sk = jax.lax.sort([jnp.concatenate([p64, b64])], num_keys=1)[0]
+        shi = (sk >> 32).astype(jnp.int32)
+        slo = sk.astype(jnp.int32)
+        return merge_scan_build_counts64(shi, slo, m, interpret=interpret)
+
+    s1 = (p64 >> sh).astype(jnp.int32)
+    s2 = (p64 & ((1 << sh) - 1)).astype(jnp.int32)
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    n_levels_full = max(nt - 1, 0).bit_length()
+    target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
+    skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    if SKIP_LEVELS_OVERRIDE is not None:
+        skip = min(n_levels_full, max(0, SKIP_LEVELS_OVERRIDE))
+    cap = n_levels_full - skip
+    sk1, (sk2,), run_log = ps.pallas_sort_multi_i32_runs(
+        s1, [s2], tile_log=tile_log, n_levels_cap=cap
+    )
+    # ladder padding: s1 = I32_MAX (> any real s1 < 2^30), s2 = 0 —
+    # reconstructs to a probe-tagged phantom above every build key',
+    # which joins a run with no builds and contributes nothing
+    run = 1 << run_log
+    sk1, sk2 = _tie_fixup_runs(sk1, sk2, run)
+    khi = (
+        jax.lax.shift_right_logical(sk1, jnp.int32(32 - sh))
+        if sh < 32
+        else sk1
+    )
+    klo = (sk1 << sh) | sk2  # i32 wrap == exact low 32 bits of key'
+
+    n_pad2 = sk1.shape[0]
+    n_runs = -(-n_pad2 // run)
+    pad2 = n_runs * run - n_pad2
     if pad2:
         khi = jnp.concatenate(
             [khi, jnp.full(pad2, np.int32(2**31 - 1), jnp.int32)]
@@ -576,6 +722,7 @@ def rank_table(table: SortedTable) -> SortedTable:
         # index payloads are 0..m-1 (non-negative, i32): the twin stays
         # wide-eligible whenever the key span allows it
         wide_ok=table.span62 and m < 2**31,
+        span_bits=table.span_bits,
     )
 
 
@@ -740,12 +887,26 @@ def sorted_match_totals(
         # 64-bit counts kernel, psum = dot(bc, payloads). No payloads
         # in the sort, no unsort. (The fallback below would pay the
         # 2-operand stable int64 lax.sort — ~8x the i32 stage cost.)
+        # When the build-time span_bits allows (<= 61), the probe sort
+        # runs the SPLIT-PLANE route (_count_side_bc64_split): single
+        # i32 compare plane + residue cargo + tie fixup — about half
+        # the ladder ALU of the limb compare.
         key_lo = table.keys[0] - 1
         key_hi = table.keys[-1] + 1
         b64 = ((table.keys - key_lo) << 1) | 1
         pcl = jnp.clip(probe_keys, key_lo, key_hi)
         p64 = (pcl - key_lo) << 1
-        bc = _count_side_bc64(p64, b64, m).astype(jnp.int64)
+        sb = table.span_bits
+        if (
+            WIDE_COUNT_ROUTE == "split"
+            and sb is not None
+            and 30 < sb <= 61
+        ):
+            bc = _count_side_bc64_split(p64, b64, m, sb - 30).astype(
+                jnp.int64
+            )
+        else:
+            bc = _count_side_bc64(p64, b64, m).astype(jnp.int64)
         return jnp.sum(bc), jnp.sum(bc * table.payloads)
 
     if table.pack is not None and not allow_negative:

@@ -144,3 +144,32 @@ def test_merge_sorted64_unequal():
     # pairing: each merged value plane entry maps to an equal key
     lookup = dict(zip(vals.tolist(), both.tolist()))
     assert all(lookup[int(v)] == int(k) for v, k in zip(mv, mk))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cap", [0, 1, 3, None])
+def test_pairsort_multi_i32_runs_capped(cap):
+    """Early-stopped multi-plane i32 ladder (`pallas_sort_multi_i32_runs`):
+    every 2^run_log run must be ASCENDING-sorted (force_asc on the last
+    executed level), key/value pairs stay attached, and the run set is a
+    permutation of the input."""
+    import jax.numpy as jnp
+
+    from ccve_tpu.kernels.pairsort import I32_MAX, pallas_sort_multi_i32_runs
+
+    rng = np.random.default_rng(3)
+    n = 9000
+    keys = rng.integers(0, 5000, n).astype(np.int32)
+    vals = np.arange(n, dtype=np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        sk, (sv,), run_log = pallas_sort_multi_i32_runs(
+            jnp.asarray(keys), [jnp.asarray(vals)],
+            tile_log=10, n_levels_cap=cap,
+        )
+    sk, sv = np.asarray(sk), np.asarray(sv)
+    run = 1 << run_log  # the final run may be partial; consumers pad
+    for s in range(0, sk.shape[0], run):
+        assert np.all(np.diff(sk[s : s + run]) >= 0), s
+    real = sk < I32_MAX
+    assert np.array_equal(sk[real], keys[sv[real]])
+    assert np.sort(sv[real]).tolist() == list(range(n))

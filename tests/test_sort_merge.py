@@ -447,14 +447,68 @@ def test_sorted_stats_wide_pallas_matches_xla():
 
 @pytest.mark.slow
 def test_sorted_totals_wide_pallas_matches_xla():
+    """Both wide count-side routes — the 2-plane limb ladder and the
+    round-5 SPLIT-PLANE ladder (single i32 compare plane + tie fixup)
+    — must agree exactly with the XLA fallback."""
     from jax.experimental.pallas import tpu as pltpu
 
+    from ccve_tpu.ops import sort_merge as sm
+
     table, probes_d, keys, payloads, probes = _wide_setup(seed=11)
+    assert table.span_bits is not None and table.span_bits > 30
     c_ref, p_ref = sorted_match_totals(table, probes_d, use_kernel=False)
+    old = sm.WIDE_COUNT_ROUTE
+    try:
+        for route in ("split", "limb"):
+            sm.WIDE_COUNT_ROUTE = route
+            with pltpu.force_tpu_interpret_mode():
+                c, p = sorted_match_totals(
+                    table, probes_d, use_kernel=True
+                )
+            assert int(c) == int(c_ref), route
+            assert int(p) == int(p_ref), route
+    finally:
+        sm.WIDE_COUNT_ROUTE = old
+
+
+@pytest.mark.slow
+def test_count_side_split_plane_ladder_path():
+    """The SPLIT-PLANE wide count engine with a SMALL tile so the
+    capped single-compare-plane ladder + tie fixup + limb reconstruct +
+    per-run merges all execute, including ADVERSARIAL s1 ties: keys
+    crafted to share the s1 prefix while differing only in the residue,
+    plus heavy duplicate probes — the verified while_loop must still
+    produce exact counts."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops.sort_merge import _count_side_bc64_split
+
+    rng = np.random.default_rng(4)
+    span_bits = 38  # tagged; sh = 8 -> s1 = key' >> 8
+    base = rng.integers(0, 2**36, 300, dtype=np.int64) & ~np.int64(0x7F)
+    keys = np.sort(
+        np.concatenate([base + off for off in (0, 1, 5, 17)])
+    )  # 4 residue variants per s1 prefix
+    m = keys.shape[0]
+    probes = np.concatenate(
+        [
+            np.repeat(rng.choice(keys, 40), 120),  # heavy duplicates
+            rng.integers(0, 2**36, 3000, dtype=np.int64),
+        ]
+    )
+    rng.shuffle(probes)
+    key_lo = keys[0] - 1
+    key_hi = keys[-1] + 1
+    b64 = jnp.asarray(((keys - key_lo) << 1) | 1)
+    pcl = np.clip(probes, key_lo, key_hi)
+    p64 = jnp.asarray((pcl - key_lo) << 1)
+    sh = max(int(keys[-1] - keys[0] + 2).bit_length() + 1 - 30, 1)
     with pltpu.force_tpu_interpret_mode():
-        c, p = sorted_match_totals(table, probes_d, use_kernel=True)
-    assert int(c) == int(c_ref)
-    assert int(p) == int(p_ref)
+        bc = np.asarray(
+            _count_side_bc64_split(p64, b64, m, sh, tile_log=10)
+        )
+    expected = np.array([(probes == k).sum() for k in keys])
+    assert np.array_equal(bc, expected)
 
 
 @pytest.mark.slow
