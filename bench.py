@@ -116,9 +116,31 @@ def main() -> None:
         run()
         times.append(time.perf_counter() - t0)
     best = min(times)
+
+    # Decompose the synced number (VERDICT r4 #5: the 55.5 -> 91.9 ms
+    # drift between rounds was unexplained): time a TRIVIAL dispatch +
+    # scalar readback — pure relay/session round trip, zero device work
+    # — and report device-time-estimate = wall - null_sync next to the
+    # wall number, so BENCH records whether a drift is the engine or
+    # the tunnel.
+    @jax.jit
+    def _null(x):
+        return x + 1
+
+    zero = jax.device_put(jnp.int64(0))
+    int(_null(zero))  # compile
+    null_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        int(_null(zero))
+        null_times.append(time.perf_counter() - t0)
+    null_sync = min(null_times)
+    dev_est = best - null_sync
     print(
         f"sort_merge single-dispatch: best {best * 1e3:.2f} ms "
-        f"({N_PROBE / best / 1e6:.1f}M rows/s)",
+        f"({N_PROBE / best / 1e6:.1f}M rows/s); null dispatch+readback "
+        f"{null_sync * 1e3:.2f} ms -> device-time estimate "
+        f"{dev_est * 1e3:.2f} ms",
         file=sys.stderr,
     )
 
@@ -183,6 +205,12 @@ def main() -> None:
                 # fraction of the compare-exchange ALU roofline — the
                 # binding resource for a sort-based probe (cli roofline)
                 "pct_of_sol": per_iter and sol_s / per_iter,
+                # synced-path decomposition (drift diagnosis, r4 #5):
+                # wall = device work + relay round trip; the null
+                # dispatch+readback isolates the tunnel's share
+                "single_dispatch_ms": best * 1e3,
+                "null_sync_ms": null_sync * 1e3,
+                "single_dispatch_device_est_ms": dev_est * 1e3,
             }
         )
     )
