@@ -165,10 +165,12 @@ class SortedPipeline(JoinPipeline):
         paths = 1
         for f in self._fanout[:-1]:
             paths *= f
+        # record_occupancy no longer forces the XLA fallback (round 5):
+        # the kernel keeps the Zebra histograms in VMEM scratch and runs
+        # the real final-level compactor count algebra in that mode
         self._fused_drain_ok = (
             rank_mode == "batched"
             and self.capacity == 0
-            and not config.record_occupancy
             and (use_kernel or interpret)
             and paths <= 64
             and config.block_size >= 128
@@ -477,6 +479,8 @@ class SortedPipeline(JoinPipeline):
         if RF != B:
             mults = jnp.pad(mults, ((0, 0), (0, 0), (0, RF - B)))
         CL = max(L - 1, 1)
+        rec_occ = bool(self.config.record_occupancy)
+        CC = L if rec_occ else CL
         c0 = self._rank_col0
         cache_ranks = pstate.cache_cols[:CL, c0 : c0 + L, :]
         cache_m = jax.lax.shift_right_logical(cache_ranks, 32).astype(
@@ -484,29 +488,42 @@ class SortedPipeline(JoinPipeline):
         )
         if RF != B:
             cache_m = jnp.pad(cache_m, ((0, 0), (0, 0), (0, RF - B)))
-        total, cache_o, ccnt_o, work, rows = drain_segment(
+        outs = drain_segment(
             mults,
             chunk_counts.astype(jnp.int32),
             thresholds,
             cache_m,
-            pstate.cache_count[:CL],
+            pstate.cache_count[:CC],
             block=self.block,
             fanouts=tuple(self._fanout),
             interpret=self.interpret or not self.use_kernel,
+            record_occupancy=rec_occ,
+            branchy=bool(self.config.branchy_descend),
         )
+        total, cache_o, ccnt_o, work, rows = outs[:5]
         new_rank_cols = (
             cache_o.reshape(CL, L, RF)[:, :, :B].astype(jnp.int64) << 32
         )
         cache_cols = pstate.cache_cols.at[:CL, c0 : c0 + L, :].set(
             new_rank_cols
         )
-        cache_count = pstate.cache_count.at[:CL].set(ccnt_o[:, 0])
+        cache_count = pstate.cache_count.at[:CC].set(ccnt_o[:, 0])
         pstate = pstate._replace(
             result_count=pstate.result_count
             + total[0, 0].astype(jnp.int64),
             cache_cols=cache_cols,
             cache_count=cache_count,
         )
+        if rec_occ:
+            occ, occf = outs[5], outs[6]
+            occ_flat = occ.reshape(L, RF)[:, : self.block].astype(
+                jnp.int64
+            )
+            occupancy = (
+                pstate.occupancy.at[:, : self.block].add(occ_flat)
+                .at[:, self.block].add(occf[:, 0].astype(jnp.int64))
+            )
+            pstate = pstate._replace(occupancy=occupancy)
         if self.config.strategy is CompactionStrategy.DYNAMIC:
             pstate = pstate._replace(
                 level_steps=pstate.level_steps + work[:, 0],

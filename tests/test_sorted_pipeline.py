@@ -547,3 +547,37 @@ def test_fused_drain_device_dynamic_preload_single_dispatch():
     assert out["count"] == expected.shape[0]
     out2 = pipe.run(probe)  # streamed path
     assert out2["count"] == expected.shape[0]
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    [CompactionStrategy.NONE, CompactionStrategy.FULL,
+     CompactionStrategy.BINARY],
+)
+def test_fused_drain_occupancy_matches_xla(strategy):
+    """Round-5: record_occupancy no longer falls back to the XLA drain.
+    The kernel's in-VMEM Zebra histograms (incl. the final level's real
+    compactor count algebra) must equal the XLA drain's occupancy table
+    BIN FOR BIN, and counts must stay oracle-exact."""
+    cfg, probe, tables, expected = _setup(
+        n_joins=2, lhs=700, rhs=96, chunk_factor=2,
+        strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+    )
+    cfg = dataclasses.replace(
+        cfg, collect_tuples=False, record_occupancy=True
+    )
+    pipe = SortedPipeline(tables, cfg, interpret=True)
+    assert pipe._fused_drain_ok, "occupancy must not disable the kernel"
+    out = pipe.run(probe)
+    assert out["count"] == expected.shape[0]
+
+    pipe2 = SortedPipeline(tables, cfg, use_kernel=False)
+    assert not pipe2._fused_drain_ok
+    out2 = pipe2.run(probe)
+    assert out2["count"] == expected.shape[0]
+    occ_k = np.asarray(out["occupancy"])
+    occ_x = np.asarray(out2["occupancy"])
+    assert np.array_equal(occ_k, occ_x), (
+        occ_k.nonzero(), occ_x.nonzero()
+    )
+    assert occ_k.sum() > 0
