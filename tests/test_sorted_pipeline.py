@@ -581,3 +581,78 @@ def test_fused_drain_occupancy_matches_xla(strategy):
         occ_k.nonzero(), occ_x.nonzero()
     )
     assert occ_k.sum() > 0
+
+
+def test_fused_drain_support_matrix():
+    """The COMPONENTS.md support matrix, executable: which workload
+    axes ride the fused drain kernel and which fall back to the XLA
+    drain (and why)."""
+    def mk(block=BLOCK, capacity=0, occupancy=False, chunk_factor=1,
+           strategy=CompactionStrategy.FULL, rank_mode="batched",
+           n_joins=2, use_kernel=True):
+        cfg = EngineConfig(
+            block_size=block, n_joins=n_joins, lhs_size=256, rhs_size=64,
+            chunk_factor=chunk_factor, strategy=strategy,
+            payload_mode=PayloadMode.REFERENCE,
+            collect_tuples=capacity > 0, record_occupancy=occupancy,
+        )
+        keys, payloads = gen_rhs_table(64, chunk_factor)
+        tables = [build_sorted(keys, payloads) for _ in range(n_joins)]
+        return SortedPipeline(
+            tables, cfg, result_capacity=capacity or None,
+            use_kernel=use_kernel, interpret=use_kernel,
+            rank_mode=rank_mode,
+        )
+
+    # fused: count-only statics, DYNAMIC, Zebra occupancy (round 5),
+    # and deep fan-outs up to 64 drain paths
+    assert mk()._fused_drain_ok
+    assert mk(strategy=CompactionStrategy.DYNAMIC)._fused_drain_ok
+    assert mk(strategy=CompactionStrategy.NONE)._fused_drain_ok
+    assert mk(occupancy=True)._fused_drain_ok
+    assert mk(chunk_factor=8)._fused_drain_ok  # 8 paths (2 levels)
+
+    # XLA drain: materializing collector (capacity > 0), per-chunk rank
+    # mode, >64 drain paths, sub-128 blocks
+    assert not mk(capacity=8192)._fused_drain_ok
+    assert not mk(rank_mode="chunk")._fused_drain_ok
+    assert not mk(chunk_factor=65, n_joins=3)._fused_drain_ok
+    # (block_size < 128 is rejected by EngineConfig itself — the
+    # kernel's block >= 128 guard is defensive, not a reachable axis)
+
+
+def test_fused_drain_wide_keys_count_only():
+    """Wide (>2^30-span) keys × {FULL, DYNAMIC} on the FUSED drain:
+    the batched rank pass serves mult planes from the wide-key route
+    and the kernel path stays oracle-exact — wide keys are NOT a
+    fallback axis for count-only runs."""
+    for strategy in (CompactionStrategy.FULL, CompactionStrategy.DYNAMIC):
+        cfg = EngineConfig(
+            block_size=BLOCK, n_joins=2, lhs_size=400, rhs_size=64,
+            strategy=strategy, payload_mode=PayloadMode.REFERENCE,
+            collect_tuples=False,
+        )
+        rng = np.random.default_rng(3)
+        shift = np.int64(1) << 40
+        keys = np.sort(rng.integers(0, 1 << 45, 64).astype(np.int64))
+        payloads = np.arange(64, dtype=np.int64) + 7
+        probe = np.stack(
+            [
+                np.concatenate([keys[rng.integers(0, 64, 200)],
+                                rng.integers(0, shift, 200)]),
+                np.concatenate([keys[rng.integers(0, 64, 200)],
+                                rng.integers(0, shift, 200)]),
+            ],
+            axis=1,
+        )
+        rng.shuffle(probe, axis=0)
+        tables = [build_sorted(keys, payloads) for _ in range(2)]
+        assert tables[0].pack32 is None and tables[0].span62
+        expected = oracle_pipeline(
+            probe, [OracleBuildTable(keys, payloads)] * 2,
+            PayloadMode.REFERENCE,
+        )
+        pipe = SortedPipeline(tables, cfg, interpret=True)
+        assert pipe._fused_drain_ok
+        out = pipe.run(probe)
+        assert out["count"] == expected.shape[0], strategy
