@@ -1059,11 +1059,14 @@ def _sorted_expand_pallas(
     return out_rows, out_keys, out_pays, total
 
 
-# Compile-safe probe rows per expand program: the monolithic 16M-probe
-# pallas expand exceeded the remote XLA compiler's practical budget
-# (two attempts killed at 33 and 75 min of compile, PERF_NOTES r4);
-# 4M-shaped programs compile in minutes and ONE serves every tile.
-EXPAND_TILE_ROWS = 4_194_304
+# Compile-safe probe rows per expand program, measured on chip
+# (2026-08-21): the expand program's compile time scales superlinearly
+# with shape — 1M: 383 s, 2M: 484 s, 4M: killed at 55 min, 16M: killed
+# the relay at ~70 min (PERF_NOTES r4/r5). 2M is the largest tile that
+# compiles in minutes; per-row runtime also improves 1M -> 2M
+# (39 -> 23.5 ms per 1M rows), so 2M is the product default on both
+# axes.
+EXPAND_TILE_ROWS = 2_097_152
 
 
 def sorted_expand_tiled(
