@@ -29,6 +29,7 @@ switches base-recovery to an associative segmented scan.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -1113,9 +1114,28 @@ def sorted_expand_tiled(
             [probe_keys, jnp.full(pad, kmin - 1, jnp.int64)]
         )
     cap = tile * max(int(table.max_mult), 1)
+    one_tile = _expand_tile_fn(cap, use_kernel, tile_log)
+    tiles = [
+        one_tile(table, probe_keys[s : s + tile], jnp.int64(s))
+        for s in range(0, n + pad, tile)
+    ]
+    # ONE host sync for the whole stream: the per-tile totals are summed
+    # on device and read back once (per-tile int() readbacks would pay
+    # 8 relay round trips; a fresh jit closure per call would re-trace —
+    # both measured, PERF_NOTES r5 materialize)
+    grand = jnp.sum(jnp.stack([t[3] for t in tiles]))
+    return tiles, int(grand)
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_tile_fn(cap: int, use_kernel, tile_log):
+    """ONE jitted tile program per (cap, flags): the table rides as a
+    traced pytree argument, so every `sorted_expand_tiled` call (and
+    every same-shape table) reuses the same compiled executable instead
+    of re-tracing a fresh closure per invocation."""
 
     @jax.jit
-    def one_tile(p, offset):
+    def one_tile(table, p, offset):
         rows, ck, cp, total = sorted_expand(
             table, p, cap, use_kernel=use_kernel, tile_log=tile_log
         )
@@ -1124,11 +1144,7 @@ def sorted_expand_tiled(
         )
         return rows, ck, cp, total
 
-    tiles = [
-        one_tile(probe_keys[s : s + tile], jnp.int64(s))
-        for s in range(0, n + pad, tile)
-    ]
-    return tiles, sum(int(t[3]) for t in tiles)
+    return one_tile
 
 
 def sorted_expand(
