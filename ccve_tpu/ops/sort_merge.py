@@ -498,10 +498,14 @@ def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
     return bc
 
 
-def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int):
+def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int,
+                    extras: tuple = ()):
     """Within each ascending `run`-length segment of the s1-sorted
     stream, sort the s2 cargo inside equal-s1 groups — completing the
     (s1, s2) lexicographic order after a SINGLE-COMPARE-PLANE ladder.
+    `extras` are additional cargo planes that travel with their
+    (s1, s2) pair through every swap (e.g. row ids for a stats-path
+    variant).
 
     Static strided odd-even passes clear the common case (s1 ties are
     rare: 30 bits of prefix); a verified stride-1 odd-even
@@ -512,8 +516,9 @@ def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int):
     n = s1.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     pos_in_run = idx & (run - 1)
+    extras = tuple(extras)
 
-    def one_pass(s2, st: int, phase: int):
+    def one_pass(s2, extras, st: int, phase: int):
         nbr1 = jnp.concatenate([s1[st:], jnp.full((st,), -1, jnp.int32)])
         nbr2 = jnp.concatenate([s2[st:], jnp.zeros((st,), jnp.int32)])
         is_lower = (
@@ -522,12 +527,20 @@ def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int):
             & (s1 == nbr1)
         )
         swap = is_lower & (s2 > nbr2)
-        lower_new = jnp.where(swap, nbr2, s2)
         swap_below = jnp.concatenate(
             [jnp.zeros((st,), bool), swap[:-st]]
         )
-        below2 = jnp.concatenate([jnp.zeros((st,), jnp.int32), s2[:-st]])
-        return jnp.where(swap_below, below2, lower_new)
+
+        def apply(v):
+            nbr = jnp.concatenate([v[st:], jnp.zeros((st,), jnp.int32)])
+            below = jnp.concatenate(
+                [jnp.zeros((st,), jnp.int32), v[:-st]]
+            )
+            return jnp.where(
+                swap_below, below, jnp.where(swap, nbr, v)
+            )
+
+        return apply(s2), tuple(apply(v) for v in extras)
 
     def check(s2):
         nbr1 = jnp.concatenate([s1[1:], jnp.full((1,), -1, jnp.int32)])
@@ -537,18 +550,18 @@ def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int):
 
     for st in (8, 4, 2, 1):
         for ph in (0, 1):
-            s2 = one_pass(s2, st, ph)
+            s2, extras = one_pass(s2, extras, st, ph)
 
     def body(carry):
-        s2, _ = carry
-        s2 = one_pass(s2, 1, 0)
-        s2 = one_pass(s2, 1, 1)
-        return s2, check(s2)
+        s2, extras, _ = carry
+        s2, extras = one_pass(s2, extras, 1, 0)
+        s2, extras = one_pass(s2, extras, 1, 1)
+        return s2, extras, check(s2)
 
-    s2, _ = jax.lax.while_loop(
-        lambda c: ~c[1], body, (s2, check(s2))
+    s2, extras, _ = jax.lax.while_loop(
+        lambda c: ~c[-1], body, (s2, extras, check(s2))
     )
-    return s1, s2
+    return (s1, s2) if not extras else (s1, s2, extras)
 
 
 def _count_side_bc64_split(p64: jax.Array, b64: jax.Array, m: int,
