@@ -423,8 +423,11 @@ def sorted_match_stats(
 # 0.8*n/m heuristic otherwise); probe scripts sweep it on chip.
 SKIP_LEVELS_OVERRIDE: int | None = None
 
-# Wide count-side route selector ("split" = single-compare-plane ladder
-# + tie fixup, "limb" = 2-plane limb ladder); probe scripts A/B it.
+# Wide count-side route selector: "split" = single-compare-plane
+# LADDER + limb merge/counts; "split1" = single-plane END TO END
+# (ladder, merge AND counts all on (s1, s2) planes — the counts kernel
+# is equality-only, so the split planes feed it verbatim); "limb" =
+# the r4 2-plane limb ladder. Probe scripts A/B these.
 WIDE_COUNT_ROUTE: str = "split"
 
 
@@ -641,6 +644,82 @@ def _count_side_bc64_split(p64: jax.Array, b64: jax.Array, m: int,
 
     bc, _ = jax.lax.scan(
         body, jnp.zeros(m, jnp.int32), (runs_h, runs_l)
+    )
+    return bc
+
+
+def _count_side_bc64_split1(p64: jax.Array, b64: jax.Array, m: int,
+                            sh: int, interpret: bool = False,
+                            tile_log: int | None = None) -> jax.Array:
+    """Fully single-plane wide counts — `_count_side_bc64_split` with
+    the MERGE and COUNTS also on the (s1, s2) planes: the per-run merge
+    is `merge_sorted_multi_i32` (one i32 compare per CE instead of
+    lt64), ONE post-merge tie fixup per run establishes the full
+    (s1, s2) order (so the pre-merge fixup is dropped — the merge only
+    needs s1 order on both sides), and `merge_scan_build_counts64`
+    consumes the split planes directly: its run identity is EQUALITY on
+    (hi, lo&~1) and its tag is lo&1 — both invariant under the
+    (s1, s2) bit-split, no limb reconstruct at all. Ladder pad keys are
+    remapped I32_MAX -> I32_MAX-1 (the merge kernel's sentinel must
+    stay unused); they sort last and form matchless runs either way."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_build_counts64
+
+    n = p64.shape[0]
+    tile_log = bs.TILE_LOG if tile_log is None else tile_log
+    tile = 1 << tile_log
+    if n <= tile:
+        sk = jax.lax.sort([jnp.concatenate([p64, b64])], num_keys=1)[0]
+        shi = (sk >> 32).astype(jnp.int32)
+        slo = sk.astype(jnp.int32)
+        return merge_scan_build_counts64(shi, slo, m, interpret=interpret)
+
+    I32M = np.int32(2**31 - 1)
+    s1 = (p64 >> sh).astype(jnp.int32)
+    s2 = (p64 & ((1 << sh) - 1)).astype(jnp.int32)
+    b1 = (b64 >> sh).astype(jnp.int32)
+    b2 = (b64 & ((1 << sh) - 1)).astype(jnp.int32)
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    n_levels_full = max(nt - 1, 0).bit_length()
+    target_runs = max(1.0, 0.8 * n_pad / max(m, 1))
+    skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    if SKIP_LEVELS_OVERRIDE is not None:
+        skip = min(n_levels_full, max(0, SKIP_LEVELS_OVERRIDE))
+    cap = n_levels_full - skip
+    sk1, (sk2,), run_log = ps.pallas_sort_multi_i32_runs(
+        s1, [s2], tile_log=tile_log, n_levels_cap=cap
+    )
+    run = 1 << run_log
+    # de-sentinel the ladder padding: probe-tagged, above every real
+    # s1 (< 2^30), matchless run either way
+    sk1 = jnp.where(sk1 == I32M, I32M - 1, sk1)
+
+    n_pad2 = sk1.shape[0]
+    n_runs = -(-n_pad2 // run)
+    pad2 = n_runs * run - n_pad2
+    if pad2:
+        # build-tagged phantoms (s2 = -1): emit zero counts past m
+        sk1 = jnp.concatenate([sk1, jnp.full(pad2, I32M - 1, jnp.int32)])
+        sk2 = jnp.concatenate([sk2, jnp.full(pad2, -1, jnp.int32)])
+    runs_1 = sk1.reshape(n_runs, run)
+    runs_2 = sk2.reshape(n_runs, run)
+    fix_seg = 1 << max(int(run + m - 1).bit_length(), 1)
+
+    def body(bc, r12):
+        r1, r2 = r12
+        mk, (m2,) = ps.merge_sorted_multi_i32(
+            r1, [r2], b1, [b2], tile_log=tile_log
+        )
+        mk, m2 = _tie_fixup_runs(mk, m2, fix_seg)
+        bc_r = merge_scan_build_counts64(
+            mk, m2, m, extra=run, interpret=interpret
+        )
+        return bc + bc_r, None
+
+    bc, _ = jax.lax.scan(
+        body, jnp.zeros(m, jnp.int32), (runs_1, runs_2)
     )
     return bc
 
@@ -911,11 +990,12 @@ def sorted_match_totals(
         pcl = jnp.clip(probe_keys, key_lo, key_hi)
         p64 = (pcl - key_lo) << 1
         sb = table.span_bits
-        if (
-            WIDE_COUNT_ROUTE == "split"
-            and sb is not None
-            and 30 < sb <= 61
-        ):
+        split_ok = sb is not None and 30 < sb <= 61
+        if WIDE_COUNT_ROUTE == "split1" and split_ok:
+            bc = _count_side_bc64_split1(p64, b64, m, sb - 30).astype(
+                jnp.int64
+            )
+        elif WIDE_COUNT_ROUTE == "split" and split_ok:
             bc = _count_side_bc64_split(p64, b64, m, sb - 30).astype(
                 jnp.int64
             )

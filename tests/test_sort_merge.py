@@ -459,7 +459,7 @@ def test_sorted_totals_wide_pallas_matches_xla():
     c_ref, p_ref = sorted_match_totals(table, probes_d, use_kernel=False)
     old = sm.WIDE_COUNT_ROUTE
     try:
-        for route in ("split", "limb"):
+        for route in ("split", "split1", "limb"):
             sm.WIDE_COUNT_ROUTE = route
             with pltpu.force_tpu_interpret_mode():
                 c, p = sorted_match_totals(
@@ -503,12 +503,13 @@ def test_count_side_split_plane_ladder_path():
     pcl = np.clip(probes, key_lo, key_hi)
     p64 = jnp.asarray((pcl - key_lo) << 1)
     sh = max(int(keys[-1] - keys[0] + 2).bit_length() + 1 - 30, 1)
-    with pltpu.force_tpu_interpret_mode():
-        bc = np.asarray(
-            _count_side_bc64_split(p64, b64, m, sh, tile_log=10)
-        )
+    from ccve_tpu.ops.sort_merge import _count_side_bc64_split1
+
     expected = np.array([(probes == k).sum() for k in keys])
-    assert np.array_equal(bc, expected)
+    for fn in (_count_side_bc64_split, _count_side_bc64_split1):
+        with pltpu.force_tpu_interpret_mode():
+            bc = np.asarray(fn(p64, b64, m, sh, tile_log=10))
+        assert np.array_equal(bc, expected), fn.__name__
 
 
 @pytest.mark.slow
