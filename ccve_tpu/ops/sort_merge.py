@@ -428,7 +428,7 @@ SKIP_LEVELS_OVERRIDE: int | None = None
 # (ladder, merge AND counts all on (s1, s2) planes — the counts kernel
 # is equality-only, so the split planes feed it verbatim); "limb" =
 # the r4 2-plane limb ladder. Probe scripts A/B these.
-WIDE_COUNT_ROUTE: str = "split"
+WIDE_COUNT_ROUTE: str = "split1"
 
 
 def _count_side_bc64(p64: jax.Array, b64: jax.Array, m: int,
