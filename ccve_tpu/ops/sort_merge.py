@@ -232,6 +232,68 @@ def _pack32_streams(table: SortedTable, probe_keys: jax.Array):
     return b32, p32
 
 
+# Experimental (round 5): early-stopped ladder for the per-probe STATS
+# path — the count-side trade (stop the merge ladder, scan per run)
+# applied to the executor's rank/stats pass. Gated off by default until
+# the chip A/B decides; stats are per-probe, so run independence holds
+# (each run merges the FULL build stream and a probe's equal-key group
+# never leaves its run).
+STATS_EARLY_STOP: bool = False
+
+
+def _stats_early_stop_packed(p32, pval, b32, bval, n: int, mb: int,
+                             tl: int) -> MatchStats:
+    """Early-stopped packed stats: capped (key', rowid) ladder, per-run
+    [merge + fused stats scan], ONE unsort over the concatenated run
+    outputs. Ladder pads are de-senteneled to I32_MAX-1 — an EVEN
+    (build-tagged) phantom in its own probe-less run, keyed n by the
+    scan and sliced off with the real builds."""
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_stats32
+
+    I32M = np.int32(2**31 - 1)
+    tile = 1 << tl
+    n_pad = n + ((-n) % tile)
+    nt = n_pad // tile
+    n_levels_full = max(nt - 1, 0).bit_length()
+    m_build = b32.shape[0]
+    target_runs = max(1.0, 0.8 * n_pad / max(m_build, 1))
+    skip = min(n_levels_full, max(0, int(np.log2(target_runs))))
+    if SKIP_LEVELS_OVERRIDE is not None:
+        skip = min(n_levels_full, max(0, SKIP_LEVELS_OVERRIDE))
+    cap = n_levels_full - skip
+    sk, (sv,), run_log = ps.pallas_sort_multi_i32_runs(
+        p32, [pval], tile_log=tl, n_levels_cap=cap
+    )
+    run = 1 << run_log
+    sk = jnp.where(sk == I32M, I32M - 1, sk)
+    n_pad2 = sk.shape[0]
+    n_runs = -(-n_pad2 // run)
+    pad2 = n_runs * run - n_pad2
+    if pad2:
+        sk = jnp.concatenate([sk, jnp.full(pad2, I32M - 1, jnp.int32)])
+        sv = jnp.concatenate([sv, jnp.zeros(pad2, jnp.int32)])
+    runs_k = sk.reshape(n_runs, run)
+    runs_v = sv.reshape(n_runs, run)
+
+    def body(_, rkv):
+        rk, rv = rkv
+        mk, (mval,) = ps.merge_sorted_multi_i32(
+            rk, [rv], b32, [bval], tile_log=tl
+        )
+        key2, packed = merge_scan_stats32(mk, mval, n, mult_bits=mb)
+        return None, (key2, packed)
+
+    _, (k2, pkd) = jax.lax.scan(body, None, (runs_k, runs_v))
+    _, (pk2,) = ps.pallas_sort_multi_i32(
+        k2.reshape(-1), [pkd.reshape(-1)], tile_log=tl
+    )
+    pk = pk2[:n]
+    mult = (pk & ((1 << mb) - 1)).astype(jnp.int32)
+    psum = (pk >> mb).astype(jnp.int64)
+    return MatchStats(mult=mult, psum=psum)
+
+
 def _sorted_match_stats_pallas(
     table: SortedTable,
     probe_keys: jax.Array,
@@ -264,6 +326,14 @@ def _sorted_match_stats_pallas(
     b32, p32 = _pack32_streams(table, probe_keys)
     bval = table.payloads.astype(jnp.int32)
     pval = jnp.arange(n, dtype=jnp.int32)
+
+    if not allow_negative and STATS_EARLY_STOP and table.pack is not None:
+        pay_bits = table.pack[2]
+        mbits = max(int(table.max_mult).bit_length(), 1)
+        if (pay_bits - 1) + 2 * mbits <= 31 and n > (1 << tl):
+            return _stats_early_stop_packed(
+                p32, pval, b32, bval, n, mbits, tl
+            )
 
     sp_k, (sp_v,) = ps.pallas_sort_multi_i32(p32, [pval], tile_log=tl)
     sk, (sval,) = ps.merge_sorted_multi_i32(

@@ -609,3 +609,40 @@ def test_sorted_expand_tiled_matches_monolithic():
         assert got == mono, f"tile={tile}"
         if tile < probe.size:
             assert len(tiles) == -(-probe.size // tile)
+
+
+@pytest.mark.slow
+def test_stats_early_stop_matches_full_ladder():
+    """Experimental early-stopped STATS route (STATS_EARLY_STOP): the
+    capped ladder + per-run [merge + fused scan] + one unsort must
+    reproduce the full-ladder stats bit for bit (per-probe order,
+    duplicates, out-of-range probes) — run independence of per-probe
+    stats."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops import sort_merge as sm
+
+    rng = np.random.default_rng(12)
+    m, n = 700, 9000
+    keys = np.repeat(rng.integers(0, 4000, m // 2, dtype=np.int64), 2)
+    payloads = np.arange(keys.size, dtype=np.int64) + 11
+    table = build_sorted(keys, payloads)
+    assert table.pack is not None and table.max_mult >= 2
+    probes = np.concatenate(
+        [rng.choice(keys, n - 500),
+         rng.integers(-100, 4400, 500, dtype=np.int64)]
+    )
+    rng.shuffle(probes)
+    probes_d = jnp.asarray(probes)
+    ref = sorted_match_stats(table, probes_d, use_kernel=False)
+    old = sm.STATS_EARLY_STOP
+    try:
+        sm.STATS_EARLY_STOP = True
+        with pltpu.force_tpu_interpret_mode():
+            got = sorted_match_stats(
+                table, probes_d, use_kernel=True, tile_log=10
+            )
+    finally:
+        sm.STATS_EARLY_STOP = old
+    assert np.array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    assert np.array_equal(np.asarray(got.psum), np.asarray(ref.psum))
