@@ -174,21 +174,49 @@ def merge_scan_stats(sk: jax.Array, st: jax.Array):
             [sk, jnp.full(pad, jnp.iinfo(jnp.int64).max, jnp.int64)]
         )
         st = jnp.concatenate([st, jnp.zeros(pad, jnp.int64)])
-    rows = sk.shape[0] // 128
 
     def split(x):
         u = x.astype(jnp.uint64)
         lo = (u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
         hi = (u >> jnp.uint64(32)).astype(jnp.uint32).astype(jnp.int32)
-        return hi.reshape(rows, 128), lo.reshape(rows, 128)
+        return hi, lo
 
     khi, klo = split(sk)
     phi, plo = split(st)
+    return merge_scan_stats_limbs(khi, klo, phi, plo, n)
+
+
+def merge_scan_stats_limbs(khi, klo, phi, plo, n: int | None = None,
+                           return_planes: bool = False):
+    """`merge_scan_stats` on PRE-SPLIT (hi, lo) i32 planes — run
+    identity is EQUALITY on the key planes and the tag lives in the
+    payload planes (build: pay*2+1, probe: 0), so any bijective
+    bit-split of the key works verbatim (e.g. the wide split-plane
+    route's (s1, s2) planes). Skips the emulated-int64 split the int64
+    entry pays; `return_planes` also skips the int64 psum reconstruct,
+    handing back (mult, ps_hi, ps_lo) i32 planes for callers that feed
+    them straight into a plane sort (the unsort). `n` trims outputs."""
+    total = khi.shape[0]
+    n = total if n is None else n
+    pad = (-total) % TILE
+    if pad:
+        khi = jnp.concatenate(
+            [khi, jnp.full(pad, jnp.int32(2**31 - 1), jnp.int32)]
+        )
+        klo = jnp.concatenate([klo, jnp.full(pad, -1, jnp.int32)])
+        phi = jnp.concatenate([phi, jnp.zeros(pad, jnp.int32)])
+        plo = jnp.concatenate([plo, jnp.zeros(pad, jnp.int32)])
+    rows = khi.shape[0] // 128
+    r = lambda x: x.reshape(rows, 128)
 
     with jax.enable_x64(False):
-        mult, ps_hi, ps_lo = _call(rows // _R, rows, khi, klo, phi, plo)
+        mult, ps_hi, ps_lo = _call(
+            rows // _R, rows, r(khi), r(klo), r(phi), r(plo)
+        )
 
     mult = mult.reshape(-1)[:n]
+    if return_planes:
+        return mult, ps_hi.reshape(-1)[:n], ps_lo.reshape(-1)[:n]
     hi = ps_hi.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
     lo = ps_lo.reshape(-1)[:n].astype(jnp.uint32).astype(jnp.uint64)
     psum = ((hi << jnp.uint64(32)) | lo).astype(jnp.int64)

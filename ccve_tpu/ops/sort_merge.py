@@ -400,6 +400,75 @@ def _pack64_streams(table: SortedTable, probe_keys: jax.Array):
     return b64, p64
 
 
+# Wide STATS route selector ("limb" = r4 2-plane limb ladder,
+# "split1" = single-compare-plane ladder + i32 merge + planes-native
+# fused scan, no emulated-int64 pass anywhere); chip A/B pending.
+WIDE_STATS_ROUTE: str = "limb"
+
+
+def _sorted_match_stats_pallas_wide_split1(
+    table: SortedTable,
+    probe_keys: jax.Array,
+    tile_log: int | None,
+) -> MatchStats:
+    """Wide per-probe stats, single-plane end to end (the `split1`
+    design applied to the STATS path): sort by s1 = key' >> sh (one
+    i32 compare plane) carrying (s2, row id) cargo; merge with the
+    split build stream on the same single-compare-plane machinery; ONE
+    post-merge tie fixup (cargo follows); then the fused scan consumes
+    the split planes DIRECTLY — its run identity is equality on
+    (s1, s2 & ~1) == untagged-key equality, and the tagged payload
+    rides as (pay >> 31, pay*2+1) i32 planes — and hands back psum
+    PLANES for the unsort. No emulated-int64 op touches the stream.
+    Requires span_bits <= 61 and wide_ok (payload < 2^31)."""
+    from ccve_tpu.kernels import bigsort as bs
+    from ccve_tpu.kernels import pairsort as ps
+    from ccve_tpu.kernels.merge_scan import merge_scan_stats_limbs
+
+    tl = bs.TILE_LOG if tile_log is None else tile_log
+    n = probe_keys.shape[0]
+    m = table.keys.shape[0]
+    sh = table.span_bits - 30
+    b64, p64 = _pack64_streams(table, probe_keys)
+    mask = (1 << sh) - 1
+    s1 = (p64 >> sh).astype(jnp.int32)
+    s2 = (p64 & mask).astype(jnp.int32)
+    b1 = (b64 >> sh).astype(jnp.int32)
+    b2 = (b64 & mask).astype(jnp.int32)
+    bval = table.payloads.astype(jnp.int32)
+    pval = jnp.arange(n, dtype=jnp.int32)
+
+    sp1, (sp2, spv) = ps.pallas_sort_multi_i32(
+        s1, [s2, pval], tile_log=tl
+    )
+    mk, (m2, mv) = ps.merge_sorted_multi_i32(
+        sp1, [sp2, spv], b1, [b2, bval], tile_log=tl
+    )
+    fix_seg = 1 << max(int(n + m - 1).bit_length(), 1)
+    mk, m2, (mv,) = _tie_fixup_runs(mk, m2, fix_seg, extras=(mv,))
+
+    # builds are EVEN-tagged in _pack64_streams (probes odd): at equal
+    # keys the build sorts first — the scan's builds-before-probes
+    # convention — and the tag lives in s2's LSB
+    is_build = (m2 & 1) == 0
+    phi = jnp.where(
+        is_build, jax.lax.shift_right_logical(mv, jnp.int32(31)), 0
+    ).astype(jnp.int32)
+    plo = jnp.where(is_build, (mv << 1) | 1, 0).astype(jnp.int32)
+    mult_sorted, ps_hi, ps_lo = merge_scan_stats_limbs(
+        mk, m2 & jnp.int32(-2), phi, plo, n + m, return_planes=True
+    )
+
+    key2 = jnp.where(is_build, jnp.int32(n), mv)
+    _, (mult2, lo2, hi2) = ps.pallas_sort_multi_i32(
+        key2, [mult_sorted, ps_lo, ps_hi], tile_log=tl
+    )
+    psum = (hi2[:n].astype(jnp.int64) << 32) | (
+        lo2[:n].astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+    )
+    return MatchStats(mult=mult2[:n], psum=psum)
+
+
 def _sorted_match_stats_pallas_wide(
     table: SortedTable,
     probe_keys: jax.Array,
@@ -473,6 +542,11 @@ def sorted_match_stats(
         and not allow_negative
         and table.keys.shape[0] > 0
     ):
+        sb = table.span_bits
+        if WIDE_STATS_ROUTE == "split1" and sb is not None and 30 < sb <= 61:
+            return _sorted_match_stats_pallas_wide_split1(
+                table, probe_keys, tile_log
+            )
         return _sorted_match_stats_pallas_wide(table, probe_keys, tile_log)
     m = table.keys.shape[0]
     mult_sorted, psum_sorted, srow, is_build = _merged_stats(

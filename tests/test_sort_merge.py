@@ -646,3 +646,28 @@ def test_stats_early_stop_matches_full_ladder():
         sm.STATS_EARLY_STOP = old
     assert np.array_equal(np.asarray(got.mult), np.asarray(ref.mult))
     assert np.array_equal(np.asarray(got.psum), np.asarray(ref.psum))
+
+
+@pytest.mark.slow
+def test_sorted_stats_wide_split1_matches_xla():
+    """The single-plane wide STATS route (WIDE_STATS_ROUTE='split1')
+    must agree exactly with the XLA fallback, per probe, including
+    duplicates and out-of-range keys."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ccve_tpu.ops import sort_merge as sm
+
+    table, probes_d, keys, payloads, probes = _wide_setup(seed=21)
+    assert table.wide_ok and 30 < table.span_bits <= 61
+    ref = sorted_match_stats(table, probes_d, use_kernel=False)
+    old = sm.WIDE_STATS_ROUTE
+    try:
+        sm.WIDE_STATS_ROUTE = "split1"
+        with pltpu.force_tpu_interpret_mode():
+            got = sorted_match_stats(
+                table, probes_d, use_kernel=True, tile_log=10
+            )
+    finally:
+        sm.WIDE_STATS_ROUTE = old
+    assert np.array_equal(np.asarray(got.mult), np.asarray(ref.mult))
+    assert np.array_equal(np.asarray(got.psum), np.asarray(ref.psum))
