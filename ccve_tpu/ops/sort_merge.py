@@ -567,6 +567,12 @@ def sorted_match_stats(
 # 0.8*n/m heuristic otherwise); probe scripts sweep it on chip.
 SKIP_LEVELS_OVERRIDE: int | None = None
 
+# Static stride schedule for `_tie_fixup_runs` (largest displacement
+# the pass pyramid absorbs before the verified stride-1 loop takes
+# over). Duplicate-heavy probe streams produce equal-s1 groups ~the
+# key multiplicity deep, so the top stride should cover it.
+TIE_FIXUP_STRIDES: tuple = (32, 16, 8, 4, 2, 1)
+
 # Wide count-side route selector: "split" = single-compare-plane
 # LADDER + limb merge/counts; "split1" = single-plane END TO END
 # (ladder, merge AND counts all on (s1, s2) planes — the counts kernel
@@ -695,7 +701,7 @@ def _tie_fixup_runs(s1: jax.Array, s2: jax.Array, run: int,
         adj = (pos_in_run + 1 < run) & (s1 == nbr1)
         return jnp.all(jnp.where(adj, s2 <= nbr2, True))
 
-    for st in (8, 4, 2, 1):
+    for st in TIE_FIXUP_STRIDES:
         for ph in (0, 1):
             s2, extras = one_pass(s2, extras, st, ph)
 
