@@ -567,11 +567,14 @@ def sorted_match_stats(
 # 0.8*n/m heuristic otherwise); probe scripts sweep it on chip.
 SKIP_LEVELS_OVERRIDE: int | None = None
 
-# Static stride schedule for `_tie_fixup_runs` (largest displacement
-# the pass pyramid absorbs before the verified stride-1 loop takes
-# over). Duplicate-heavy probe streams produce equal-s1 groups ~the
-# key multiplicity deep, so the top stride should cover it.
-TIE_FIXUP_STRIDES: tuple = (32, 16, 8, 4, 2, 1)
+# Static stride schedule for `_tie_fixup_runs` (the pass pyramid run
+# before the verified stride-1 loop takes over). Chip-swept round 5:
+# FLAT within ~±1 ms session noise from () to (8,4,2,1), rising ~1 ms
+# per extra stride beyond — duplicate probes arrive already grouped
+# (equal (s1,s2) values need no ordering) and the build/probe tag
+# ordering falls out of the merge, so the fixup's real work is only
+# the rare cross-key s1 collisions. (8,4,2,1) is the measured optimum.
+TIE_FIXUP_STRIDES: tuple = (8, 4, 2, 1)
 
 # Wide count-side route selector: "split" = single-compare-plane
 # LADDER + limb merge/counts; "split1" = single-plane END TO END
